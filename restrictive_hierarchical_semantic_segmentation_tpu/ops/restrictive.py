@@ -1,0 +1,114 @@
+"""Restrictive-head math: gated grouped softmax + probabilistic composition.
+
+Reference semantics (models.py:273-306 for UNet, models.py:771-798 for HRNet):
+for every level ``L >= 1``, child logits are grouped by parent; within each
+group ``g`` of parent ``p``::
+
+    Q_g = softmax(z_g + log(P_p + eps))          # gated conditional
+    P_c = P_p * Q_g                              # probabilistic composition
+
+The reference loops over parent groups in Python with dynamic slices. Here the
+whole level is one vectorized pass over static index tables from ``ClassTree``:
+
+* ``parent_index``  (C_child,) -> parent channel at the previous level
+* ``child_to_parent`` (C_child, C_parent) one-hot assignment matrix ``A``
+
+The grouped softmax becomes: gather parent stats per child channel, a masked
+per-group max (stability), ``exp``, and a masked per-group sum — all
+static-shaped, fully fusible elementwise/VPU work (deliberately *not* an MXU
+matmul: TPU default matmul precision is bf16, which would cost ~5e-4 relative
+error on the probabilities), instead of D Python-loop dispatches.
+
+Because every child channel belongs to exactly one group, grouped softmax over
+channel axis == exp(z - max_g) / segsum_g, where per-child group stats are
+``(stat_per_parent)[parent_index]`` — a gather on the last (lane) axis of an
+NHWC tensor, which XLA lowers to a cheap one-hot matmul on TPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["gated_grouped_softmax", "compose_children", "grouped_conditional_kl"]
+
+_EPS = 1e-6  # reference eps, models.py:274/:761
+
+
+def gated_grouped_softmax(
+    z_children: jax.Array,
+    p_parent: jax.Array,
+    parent_index: np.ndarray,
+    child_to_parent: np.ndarray,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-parent-group softmax of ``z + log(P_parent + eps)``.
+
+    Args:
+      z_children: (..., C_child) child logits (level head output).
+      p_parent:   (..., C_parent) previous-level probabilities.
+      parent_index: static (C_child,) int array, child -> parent channel.
+      child_to_parent: static (C_child, C_parent) one-hot float matrix.
+
+    Returns:
+      (Q, P_child): the conditional ``Q_{c|p}`` and composed ``P_c = P_p * Q``.
+    """
+    pidx = jnp.asarray(parent_index)
+    member = jnp.asarray(child_to_parent) > 0  # (C_child, C_parent) bool
+
+    p_gathered = jnp.take(p_parent, pidx, axis=-1)  # (..., C_child)
+    gated = z_children + jnp.log(p_gathered + _EPS)
+
+    # Per-group max for numerical stability: max over children of each parent.
+    # Mask non-members with -inf via the assignment mask, reduce, re-gather.
+    neg_inf = jnp.asarray(-jnp.inf, gated.dtype)
+    # (..., C_child, 1) vs (C_child, C_parent) -> (..., C_parent)
+    group_max = jnp.max(
+        jnp.where(member, gated[..., :, None], neg_inf), axis=-2
+    )
+    gated = gated - jnp.take(group_max, pidx, axis=-1)
+
+    e = jnp.exp(gated)
+    group_sum = jnp.sum(
+        jnp.where(member, e[..., :, None], jnp.zeros((), e.dtype)), axis=-2
+    )
+    q = e / jnp.take(group_sum, pidx, axis=-1)
+    return q, p_gathered * q
+
+
+def compose_children(
+    z_children: jax.Array,
+    p_parent: jax.Array,
+    parent_index: np.ndarray,
+    child_to_parent: np.ndarray,
+) -> jax.Array:
+    """Convenience: only the composed child probabilities ``P_c``."""
+    _, p_child = gated_grouped_softmax(
+        z_children, p_parent, parent_index, child_to_parent
+    )
+    return p_child
+
+
+def grouped_conditional_kl(
+    q_children: jax.Array,
+    child_to_parent: np.ndarray,
+) -> jax.Array:
+    """Optional stabiliser: mean over groups of KL(Q_{c|p} || Uniform_g).
+
+    Implements the intent of the reference's commented-out
+    ``grouped_conditional_kl`` (losses.py:180-210): per parent group,
+    ``mean(Q * (log Q - log(1/g)))``. The reference's trainer passes
+    ``lambda_kl=0.1`` but the implementation is commented out, so the default
+    framework config keeps this at weight 0 for behavioral parity.
+    """
+    A = jnp.asarray(child_to_parent, dtype=q_children.dtype)
+    group_size = A.sum(axis=0)  # (C_parent,)
+    pidx = jnp.argmax(A, axis=-1)
+    g = jnp.take(group_size, pidx)  # (C_child,)
+    q = jnp.clip(q_children, 1e-8, None)
+    kl_terms = q * (jnp.log(q) + jnp.log(g))
+    # reference: per-group .mean() over all elements, then mean over groups.
+    # Each group's mean is over (batch*H*W*g) terms; groups all see the same
+    # spatial extent, so mean-of-group-means == weighted channel mean:
+    n_groups = int((np.asarray(child_to_parent).sum(axis=0) > 0).sum())
+    per_channel = jnp.mean(kl_terms, axis=tuple(range(kl_terms.ndim - 1)))
+    return jnp.sum(per_channel / g) / n_groups
