@@ -64,12 +64,14 @@ def load_class_map(path_or_rows) -> Dict[str, Optional[int]]:
     return dict(rows)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class ClassTree:
     """Immutable, fully-indexed class hierarchy.
 
     Build with :meth:`from_json` / :meth:`from_dict`. All arrays are numpy and
-    static — safe to close over in jitted functions.
+    static — safe to close over in jitted functions. ``eq=False``: instances
+    compare/hash by identity so a ClassTree can be a static field of a Flax
+    module (numpy members make value-equality ill-defined).
     """
 
     tree: dict

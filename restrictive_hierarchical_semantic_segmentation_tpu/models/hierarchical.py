@@ -1,0 +1,172 @@
+"""Hierarchical restrictive segmenter — the framework's flagship model wrapper.
+
+Generic over donor backbones (UNet / HRNet), re-designing the reference's two
+copy-pasted wrappers (UNet: models.py:192-306; HRNet: models.py:554-802) as one
+module:
+
+* **flat mode** (``model_type==0``): one head over all leaf classes.
+* **hierarchical mode** (``model_type==1``): per-level heads; the backbone is
+  re-run once per tree depth ("recurrent level-wise prediction"), each re-run
+  FiLM-conditioned on the previous level's probabilities; level 0 parents are
+  sigmoid-activated; deeper levels use the gated grouped softmax and
+  probabilistic composition ``P_c = P_p * Q_{c|p}``.
+
+The level loop is unrolled at trace time (depth <= 4 in practice): the
+backbone *parameters are shared* across re-runs (one Flax submodule invoked D
+times), exactly matching the reference's weight sharing, while each level owns
+its head and FiLM parameters. BatchNorm batch statistics are updated on every
+re-run, matching the reference's D-updates-per-step behavior (SURVEY.md §7
+hard-part 3).
+
+Config extension (SURVEY.md "critical reading note"): the README abstract
+describes concatenating previous-level logits to the input image; the
+reference *code* conditions only through FiLM. ``concat_prev_probs=True``
+enables the abstract's variant: previous-level probabilities are resized to
+the input and concatenated (zero-filled at level 0 and right-padded to a
+static width so every re-run shares one backbone signature).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..hierarchy.tree import ClassTree
+from ..ops.resize import resize_bilinear
+from ..ops.restrictive import gated_grouped_softmax
+from .film import FiLM
+
+__all__ = ["HierarchicalSegmenter", "SegmenterOutput"]
+
+
+class SegmenterOutput(tuple):
+    """(probs_per_level, logits_per_level, q_per_level).
+
+    flat mode: ``probs_per_level is None`` and ``logits_per_level == [logits]``
+    (reference returns ``[], logits`` — models.py:261/:758).
+    ``q_per_level`` holds the conditionals ``Q_{c|p}`` (None at level 0) for
+    the optional KL stabiliser.
+    """
+
+    def __new__(cls, probs, logits, q):
+        return super().__new__(cls, (probs, logits, q))
+
+    probs_per_level = property(lambda s: s[0])
+    logits_per_level = property(lambda s: s[1])
+    q_per_level = property(lambda s: s[2])
+
+
+class HierarchicalSegmenter(nn.Module):
+    tree: ClassTree
+    backbone: nn.Module
+    hierarchical: bool = True
+    final_conv_kernel: int = 1       # HRNet FINAL_CONV_KERNEL (yaml:18)
+    align_corners: bool = True       # for logit upsampling (HRNet path)
+    concat_prev_probs: bool = False  # README-abstract variant (off = code parity)
+    dtype: jnp.dtype = jnp.float32
+
+    def _head(self, feats, out_ch: int, name: str):
+        pad = 1 if self.final_conv_kernel == 3 else 0
+        k = self.final_conv_kernel
+        return nn.Conv(out_ch, (k, k), padding=pad, use_bias=True,
+                       dtype=self.dtype, name=name)(feats)
+
+    def _maybe_upsample(self, z, hw):
+        if z.shape[1:3] != hw:
+            z = resize_bilinear(z, tuple(hw), self.align_corners)
+        return z
+
+    def _backbone_input(self, x, prev_probs: Optional[jnp.ndarray]):
+        if not self.concat_prev_probs:
+            return x
+        width = max(self.tree.classes_per_level)
+        if prev_probs is None:
+            extra = jnp.zeros(x.shape[:3] + (width,), x.dtype)
+        else:
+            extra = resize_bilinear(
+                prev_probs, tuple(x.shape[1:3]), self.align_corners
+            ).astype(x.dtype)
+            pad = width - extra.shape[-1]
+            if pad:
+                extra = jnp.pad(extra, ((0, 0),) * 3 + ((0, pad),))
+        return jnp.concatenate([x, extra], axis=-1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> SegmenterOutput:
+        hw = x.shape[1:3]
+        t = self.tree
+
+        if not self.hierarchical:
+            feats = self.backbone(self._backbone_input(x, None), train=train)
+            z = self._head(feats, t.num_leaves, "head_flat")
+            z = self._maybe_upsample(z, hw)
+            return SegmenterOutput(None, [z.astype(jnp.float32)], None)
+
+        probs: List[jnp.ndarray] = []
+        logits: List[jnp.ndarray] = []
+        qs: List[Optional[jnp.ndarray]] = []
+
+        # Level 0: independent parent probabilities via sigmoid
+        # (models.py:267-271 / :763-769)
+        feats = self.backbone(self._backbone_input(x, None), train=train)
+        z0 = self._maybe_upsample(
+            self._head(feats, t.classes_per_level[0], "head_l0"), hw
+        ).astype(jnp.float32)
+        probs.append(nn.sigmoid(z0))
+        logits.append(z0)
+        qs.append(None)
+
+        # Levels >= 1: recurrent backbone re-run + FiLM + restrictive head
+        # (models.py:275-305 / :772-798)
+        for L in range(1, t.num_levels):
+            feats = self.backbone(
+                self._backbone_input(x, probs[L - 1]), train=train
+            )
+            feats = FiLM(dtype=self.dtype, name=f"film_l{L}")(
+                feats, probs[L - 1].astype(self.dtype)
+            )
+            zL = self._maybe_upsample(
+                self._head(feats, t.classes_per_level[L], f"head_l{L}"), hw
+            ).astype(jnp.float32)
+            q, p_child = gated_grouped_softmax(
+                zL, probs[L - 1], t.parent_index[L], t.child_to_parent[L]
+            )
+            probs.append(p_child)
+            logits.append(zL)
+            qs.append(q)
+
+        return SegmenterOutput(probs, logits, qs)
+
+
+def build_model(
+    tree: ClassTree,
+    model_select: int = 0,
+    model_type: int = 1,
+    hrnet_config=None,
+    dtype=jnp.float32,
+    concat_prev_probs: bool = False,
+) -> HierarchicalSegmenter:
+    """Factory matching the reference CLI conventions (train.py:456-462):
+    ``model_select`` 0 = UNet, 1 = HRNet; ``model_type`` 0 = flat, 1 = hier."""
+    from .backbones.hrnet import HRNetBackbone
+    from .backbones.unet import UNetBackbone
+
+    if model_select == 0:
+        backbone = UNetBackbone(dtype=dtype)
+        final_k, ac = 1, True
+    else:
+        from ..config.hrnet import hrnet_w48
+
+        cfg = hrnet_config or hrnet_w48()
+        backbone = HRNetBackbone(config=cfg, dtype=dtype)
+        final_k, ac = cfg.final_conv_kernel, cfg.align_corners
+    return HierarchicalSegmenter(
+        tree=tree,
+        backbone=backbone,
+        hierarchical=model_type == 1,
+        final_conv_kernel=final_k,
+        align_corners=ac,
+        concat_prev_probs=concat_prev_probs,
+        dtype=dtype,
+    )
