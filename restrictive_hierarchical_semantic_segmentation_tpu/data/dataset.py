@@ -1,0 +1,125 @@
+"""SegDataset: image+mask decode -> transforms -> paired aug -> targets.
+
+Behavioral equivalent of the reference ``SegDataset`` (Data/dataset.py:12-476)
+with the pipeline order preserved exactly:
+
+1. decode image (gray -> 3ch stack, dataset.py:416-417) and pixel-coded mask;
+2. per-node binary channels in canonical order (flat: leaves only);
+3. input chain: [0,1] -> resize -> (train: blur, jitter) -> normalize(.5,.5);
+4. target chain: per-channel [0,1] -> resize;
+5. paired hflip (p=.5) and paired random affine (train only), reference fill
+   conventions (image -1; target channel 0 fills with its max, others -1);
+6. re-binarize targets at 0.5 (dataset.py:454-455);
+7. hierarchical mode: ternary restrictive encoding.
+
+Outputs NHWC float32: image (S, S, 3), target (S, S, C_total).
+Randomness is an explicit ``np.random.Generator`` (reproducible per
+epoch/index) instead of torch's global RNG.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..hierarchy.tree import ClassTree
+from . import transforms as T
+from .target_factory import leaf_masks, node_masks, ternary_encode
+
+__all__ = ["SegDataset", "decode_image", "decode_mask"]
+
+
+def decode_image(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = np.stack((img,) * 3, axis=-1)  # dataset.py:416-417
+    elif img.shape[2] == 4:
+        img = img[..., :3]
+    else:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+def decode_mask(path: str) -> np.ndarray:
+    m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if m is None:
+        raise FileNotFoundError(path)
+    return m
+
+
+class SegDataset:
+    def __init__(
+        self,
+        input_paths: List[str],
+        target_paths: List[str],
+        tree: ClassTree,
+        img_size: int,
+        hierarchical: bool,
+        augment: bool,
+        hflip: bool = True,
+        vflip: bool = False,
+        affine: bool = True,
+    ):
+        assert len(input_paths) == len(target_paths)
+        self.input_paths = list(input_paths)
+        self.target_paths = list(target_paths)
+        self.tree = tree
+        self.img_size = int(img_size)
+        self.hierarchical = hierarchical
+        self.augment = augment
+        self.hflip = hflip
+        self.vflip = vflip
+        self.affine = affine
+
+    def __len__(self) -> int:
+        return len(self.input_paths)
+
+    @property
+    def num_target_channels(self) -> int:
+        return self.tree.num_classes if self.hierarchical else self.tree.num_leaves
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        if rng is None:
+            rng = np.random.default_rng()
+        s = self.img_size
+        x = decode_image(self.input_paths[index]).astype(np.float32) / 255.0
+        mask = decode_mask(self.target_paths[index])
+
+        y = (
+            node_masks(mask, self.tree)
+            if self.hierarchical
+            else leaf_masks(mask, self.tree)
+        ).astype(np.float32)
+
+        x = T.resize_bilinear_np(x, (s, s))
+        y = T.resize_bilinear_np(y, (s, s))
+
+        if self.augment:
+            sigma = rng.uniform(0.001, 2.0)  # dataloaders.py:53
+            x = T.gaussian_blur(x, sigma)
+            x = T.color_jitter(x, rng)
+        x = T.normalize(x)
+
+        if self.augment and self.hflip and rng.uniform() > 0.5:
+            x, y = T.hflip(x), T.hflip(y)
+        if self.augment and self.vflip and rng.uniform() > 0.5:
+            x, y = x[::-1].copy(), y[::-1].copy()
+        if self.augment and self.affine:
+            p = T.sample_affine(rng)
+            x = T.affine_nearest(x, p, fill=-1.0)
+            chans = []
+            for c in range(y.shape[-1]):
+                # dataset.py:446-451: channel 0 fills with its max value
+                # (out-of-frame stays background), the rest fill -1
+                fill = float(y[..., c].max()) if c == 0 else -1.0
+                yc = T.affine_nearest(np.ascontiguousarray(y[..., c]), p, fill)
+                chans.append(yc[..., 0] if yc.ndim == 3 else yc)
+            y = np.stack(chans, axis=-1)
+
+        y = (y >= 0.5).astype(np.float32)  # dataset.py:454-455
+        if self.hierarchical:
+            y = ternary_encode(y, self.tree)
+        return x.astype(np.float32), y

@@ -1,0 +1,139 @@
+"""Host data loading: splits, batched multi-threaded decode, device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + fork-worker stack
+(Data/dataloaders.py:42-195) with a TPU-idiomatic pipeline:
+
+* deterministic 80/10/10 splits identical to the reference's
+  ``train_test_split(random_state=42)`` (dataloaders.py:12-39; the undefined
+  ``val_size`` NameError — SURVEY §4 defect #3 — is fixed to the intended 10%);
+* a thread-pool batch assembler (cv2/numpy release the GIL) producing fixed
+  static-shape NHWC float32 batches (train: shuffle + drop_last,
+  dataloaders.py:170-176);
+* ``prefetch_to_device``: a double-buffered generator that overlaps host
+  decode/augment with device compute by keeping N batches in flight via
+  ``jax.device_put``.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dataset import SegDataset
+
+__all__ = ["split_ids", "BatchLoader", "prefetch_to_device"]
+
+
+def split_ids(
+    n: int, has_val: bool, has_test: bool, test_remove: bool, seed: int = 42
+):
+    """Reference split_ids semantics (dataloaders.py:12-39), fixed.
+
+    Returns (train_idx, test_idx or None, val_idx)."""
+    from sklearn.model_selection import train_test_split
+
+    idx = np.arange(n)
+    val_size = int(round(0.10 * n))
+    test_size = int(round(0.10 * n))
+    if has_val:
+        train_idx, val_idx = idx, None
+    else:
+        train_idx, val_idx = train_test_split(
+            idx, test_size=val_size, random_state=seed
+        )
+    test_idx = None
+    if not test_remove and not has_test:
+        train_idx, test_idx = train_test_split(
+            train_idx, test_size=test_size, random_state=seed
+        )
+    return train_idx, test_idx, val_idx
+
+
+class BatchLoader:
+    """Iterable over (image, target) numpy batches with static shapes."""
+
+    def __init__(
+        self,
+        dataset: SegDataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        seed: int = 0,
+        num_workers: int = 8,
+        indices: Optional[Sequence[int]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, int(num_workers))
+        self.indices = (
+            np.asarray(indices, np.int64)
+            if indices is not None
+            else np.arange(len(dataset))
+        )
+        self.epoch = 0
+        self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _load_one(self, ds_index: int, sample_seed: int):
+        rng = np.random.default_rng(sample_seed)
+        return self.dataset.__getitem__(int(ds_index), rng)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+            seeds = [
+                self.seed * 1_000_003 + self.epoch * 131_071 + int(i)
+                for i in chunk
+            ]
+            samples = list(self._pool.map(self._load_one, chunk, seeds))
+            xs = np.stack([s[0] for s in samples])
+            ys = np.stack([s[1] for s in samples])
+            yield xs, ys
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Keep ``size`` batches in flight on device (double buffering).
+
+    ``sharding``: optional ``jax.sharding.Sharding`` so batches land already
+    laid out for the pjit'ed step (no device-side reshard).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding) if sharding is not None
+            else jax.device_put(x),
+            batch,
+        )
+
+    it = iter(iterator)
+    try:
+        while len(queue) < size:
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

@@ -1,0 +1,84 @@
+"""Synthetic TL-pano-like data generator (for tests, smoke training, benches).
+
+The real dataset (194 panoramic radiographs, pixel-coded masks per
+class_map.csv) is not redistributable; this generates structurally-equivalent
+samples: a grayscale "radiograph" with jaw bands (upper/lower) and elliptical
+"teeth" whose interiors are partitioned into pulp/dentin/enamel(/composite)
+rings, encoded with the exact class_map pixel values so the full target
+factory path is exercised.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+from ..hierarchy.tree import ClassTree
+
+__all__ = ["synth_sample", "write_synth_dataset"]
+
+
+def synth_sample(
+    rng: np.random.Generator, size: int = 128
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (image uint8 (S,S), mask uint8 (S,S)) with class_map pixel codes:
+    background=0, upper=212, lower=255, pulp=127, dentin=170, enamel=85,
+    composite=42."""
+    s = size
+    mask = np.zeros((s, s), np.uint8)
+    mid = s // 2
+    # jaw bands
+    uh = int(rng.uniform(0.12, 0.2) * s)
+    lh = int(rng.uniform(0.12, 0.2) * s)
+    mask[mid - uh : mid, :] = 212  # upper
+    mask[mid : mid + lh, :] = 255  # lower
+    # teeth: ellipses straddling the jaw line
+    n_teeth = int(rng.integers(3, 7))
+    for i in range(n_teeth):
+        cx = int((i + 0.5 + rng.uniform(-0.1, 0.1)) * s / n_teeth)
+        cy = mid + int(rng.uniform(-0.3, 0.3) * uh)
+        a = max(3, int(s / (n_teeth * 2.6)))
+        b = max(5, int(rng.uniform(0.1, 0.16) * s))
+        # enamel shell, dentin body, pulp core (concentric)
+        cv2.ellipse(mask, (cx, cy), (a, b), 0, 0, 360, 85, -1)
+        cv2.ellipse(mask, (cx, cy), (int(a * 0.75), int(b * 0.75)), 0, 0, 360,
+                    170, -1)
+        cv2.ellipse(mask, (cx, cy), (max(1, int(a * 0.3)), max(2, int(b * 0.3))),
+                    0, 0, 360, 127, -1)
+        if rng.uniform() < 0.3:  # occasional composite filling
+            cv2.ellipse(mask, (cx, cy - b // 2),
+                        (max(1, a // 3), max(1, b // 5)), 0, 0, 360, 42, -1)
+    # image: noisy rendering of the anatomy
+    img = np.zeros((s, s), np.float32)
+    for pv, lum in ((212, 90), (255, 110), (170, 170), (85, 220), (127, 60),
+                    (42, 240)):
+        img[mask == pv] = lum
+    img += rng.normal(0, 12, (s, s)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (5, 5), 1.2)
+    return np.clip(img, 0, 255).astype(np.uint8), mask
+
+
+def write_synth_dataset(
+    root: str, n: int, size: int = 128, seed: int = 0, folds: int = 0
+) -> None:
+    """Write images/ + labels/ PNG pairs; with ``folds>0``, write the
+    reference's cross-val layout ``root/fold_N/{train,val}/{images,labels}``
+    (train.py:796-803)."""
+    rng = np.random.default_rng(seed)
+
+    def write_split(d: str, count: int):
+        os.makedirs(os.path.join(d, "images"), exist_ok=True)
+        os.makedirs(os.path.join(d, "labels"), exist_ok=True)
+        for i in range(count):
+            img, mask = synth_sample(rng, size)
+            cv2.imwrite(os.path.join(d, "images", f"{i:04d}.png"), img)
+            cv2.imwrite(os.path.join(d, "labels", f"{i:04d}.png"), mask)
+
+    if folds <= 0:
+        write_split(root, n)
+    else:
+        for f in range(1, folds + 1):
+            write_split(os.path.join(root, f"fold_{f}", "train"), n)
+            write_split(os.path.join(root, f"fold_{f}", "val"), max(2, n // 4))

@@ -1,0 +1,165 @@
+"""Host-side image/target transforms reproducing the reference's torchvision
+pipeline (Data/dataloaders.py:49-69, Data/dataset.py:423-455) in numpy + cv2.
+
+Train-input chain:  scale to [0,1] -> resize (bilinear, no antialias) ->
+GaussianBlur(k=25, sigma~U[0.001,2]) -> ColorJitter(0.4,0.5,0.25,0.01) ->
+Normalize(0.5,0.5).  Eval-input chain drops blur/jitter. Targets: per-channel
+resize -> threshold 0.5. Paired augs: hflip(p=0.5) and a shared random affine
+(angle ±50°, translate ±20px, scale [0.85,1.15], shear ±5°, NEAREST
+interpolation — torchvision ``TF.affine``'s default) with the reference's fill
+conventions: image -1.0, first target channel filled with its max (background
+stays background out-of-frame), other channels -1 (then squashed to 0 by the
+0.5 re-binarization, dataset.py:454-455).
+
+Pixel conventions verified against torch/torchvision oracles where available;
+ColorJitter and affine use torchvision's documented math (random order of the
+four jitter ops; inverse affine matrix about the image center).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+__all__ = [
+    "resize_bilinear_np",
+    "gaussian_blur",
+    "color_jitter",
+    "normalize",
+    "hflip",
+    "AffineParams",
+    "sample_affine",
+    "affine_nearest",
+]
+
+
+def resize_bilinear_np(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Half-pixel bilinear resize (== torch interpolate antialias=False)."""
+    if img.shape[:2] == tuple(size):
+        return img
+    out = cv2.resize(img, (size[1], size[0]), interpolation=cv2.INTER_LINEAR)
+    if img.ndim == 3 and out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+def gaussian_blur(img: np.ndarray, sigma: float, ksize: int = 25) -> np.ndarray:
+    """GaussianBlur((25,25), sigma) — dataloaders.py:53."""
+    return cv2.GaussianBlur(img, (ksize, ksize), sigmaX=sigma, sigmaY=sigma,
+                            borderType=cv2.BORDER_REFLECT101)
+
+
+def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:
+    return np.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0).astype(np.float32)
+
+
+def _grayscale(img: np.ndarray) -> np.ndarray:
+    # ITU-R 601 luma, torchvision rgb_to_grayscale convention
+    return (0.2989 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[
+        ..., None
+    ].astype(np.float32)
+
+
+def _adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)  # H in [0,360) for float32
+    hsv[..., 0] = (hsv[..., 0] + factor * 360.0) % 360.0
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def color_jitter(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.4,
+    contrast: float = 0.5,
+    saturation: float = 0.25,
+    hue: float = 0.01,
+) -> np.ndarray:
+    """torchvision ColorJitter(0.4, 0.5, 0.25, 0.01) — dataloaders.py:54.
+
+    Factors sampled U[max(0,1-x), 1+x] (hue: U[-h,h]); the four ops are applied
+    in a random permutation, as torchvision does.
+    """
+    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    fh = rng.uniform(-hue, hue)
+    order = rng.permutation(4)
+    for op in order:
+        if op == 0:
+            img = _blend(img, 0.0, fb)
+        elif op == 1:
+            img = _blend(img, _grayscale(img).mean(), fc)
+        elif op == 2:
+            img = _blend(img, _grayscale(img), fs)
+        else:
+            img = np.clip(_adjust_hue(img, fh), 0.0, 1.0)
+    return img.astype(np.float32)
+
+
+def normalize(img: np.ndarray, mean: float = 0.5, std: float = 0.5) -> np.ndarray:
+    return ((img - mean) / std).astype(np.float32)
+
+
+def hflip(img: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(img[:, ::-1])
+
+
+class AffineParams:
+    __slots__ = ("angle", "translate", "scale", "shear")
+
+    def __init__(self, angle, translate, scale, shear):
+        self.angle = angle
+        self.translate = translate
+        self.scale = scale
+        self.shear = shear
+
+
+def sample_affine(rng: np.random.Generator) -> AffineParams:
+    """Reference parameter ranges — dataset.py:438-442."""
+    return AffineParams(
+        angle=rng.uniform(-50.0, 50.0),
+        translate=(rng.uniform(-20, 20), rng.uniform(-20, 20)),
+        scale=rng.uniform(0.85, 1.15),
+        shear=rng.uniform(-5, 5),
+    )
+
+
+def _torchvision_affine_matrix(params: AffineParams, h: int, w: int) -> np.ndarray:
+    """Forward affine matrix matching torchvision ``TF.affine`` semantics:
+    output = T(translate) @ C @ R(angle) @ Shear @ Scale @ C^-1 applied about
+    the image center C = ((w-1)/2 + 0.5 ... torchvision uses (w*0.5, h*0.5))."""
+    cx, cy = w * 0.5, h * 0.5
+    rot = math.radians(params.angle)
+    sx = math.radians(params.shear)
+    sy = 0.0
+    a = math.cos(rot - sy) / math.cos(sy)
+    b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
+    c = math.sin(rot - sy) / math.cos(sy)
+    d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
+    s = params.scale
+    tx, ty = params.translate
+    # forward: p_out = M @ (p_in - center) * ... torchvision defines the
+    # INVERSE matrix for grid sampling; build forward then invert with cv2.
+    m = np.array([[s * a, s * b, 0.0], [s * c, s * d, 0.0], [0, 0, 1]])
+    pre = np.array([[1, 0, cx + tx], [0, 1, cy + ty], [0, 0, 1]], np.float64)
+    post = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float64)
+    return (pre @ m @ post)[:2]
+
+
+def affine_nearest(
+    img: np.ndarray, params: AffineParams, fill: float
+) -> np.ndarray:
+    """Apply the shared paired affine with NEAREST interpolation (torchvision
+    ``TF.affine`` default) and a constant fill — dataset.py:443-451."""
+    h, w = img.shape[:2]
+    m = _torchvision_affine_matrix(params, h, w)
+    border = (float(fill),) * (img.shape[2] if img.ndim == 3 else 1)
+    out = cv2.warpAffine(
+        img, m, (w, h), flags=cv2.INTER_NEAREST,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+    )
+    if img.ndim == 3 and out.ndim == 2:
+        out = out[..., None]
+    return out
