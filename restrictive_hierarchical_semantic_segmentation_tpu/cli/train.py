@@ -1,0 +1,127 @@
+"""Train CLI — drop-in flag parity with the reference ``train.py``
+(train.py:714-750), without the eval()-coercion hazards: list-valued flags are
+parsed with ``ast.literal_eval`` and stringly booleans are accepted in the
+reference's exact spellings.
+
+Example (reference README.md:71-91, adapted):
+
+    python -m restrictive_hierarchical_semantic_segmentation_tpu.cli.train \\
+        --save-path runs/hier_hrnet --data-root data/tlpano \\
+        --tree-root assets/class_tree_tl.json --class-map assets/class_map.csv \\
+        --epochs 80 --batch-size 4 --img-size 620 --model-type 1 \\
+        --model-select 1 --learning-rate "[0.018]" --folds 5 \\
+        --inc-cross-val True \\
+        --level-weights "[[0.0297,1.577,0.9619,0.1770],[1.5432,0.2638,1.0413,3.9722]]"
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+
+def _bool(s) -> bool:
+    return str(s).lower() in ("true", "1", "yes")
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train restrictive hierarchical segmentation (TPU-native)"
+    )
+    p.add_argument("--save-path", type=str, required=True)
+    p.add_argument("--model-weights", type=str, default="None")
+    p.add_argument("--no-ph-weights", type=str, default="True")  # vestigial parity
+    p.add_argument("--data-root", type=str, required=True, dest="root")
+    p.add_argument("--tree-root", type=str, required=True)
+    p.add_argument("--class-map", type=str, required=True)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--val-dataset", type=str, default="None")
+    p.add_argument("--img-size", type=int, default=352)
+    p.add_argument("--learning-rate", type=str, default="[1e-4]", dest="lr")
+    p.add_argument("--test-remove", type=str, default="True")
+    p.add_argument("--model-type", type=int, default=0, choices=[0, 1])
+    p.add_argument("--model-select", type=int, default=0, choices=[0, 1])
+    p.add_argument("--val-batch", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=-1)
+    p.add_argument("--learning-rate-scheduler", type=str, default="true",
+                   dest="lrs")
+    p.add_argument("--learning-rate-scheduler-minimum", type=float,
+                   default=1e-6, dest="lrs_min")
+    p.add_argument("--multi-gpu", type=str, default="false", dest="mgpu")
+    p.add_argument("--save-images-batch", type=str, default="False")
+    p.add_argument("--save-images-batch-num", type=int, default=10)
+    p.add_argument("--inc-cross-val", type=str, default="True")
+    p.add_argument("--folds", type=int, default=0)
+    p.add_argument("--config", type=str, default="")
+    p.add_argument("--level-weights", type=str, default=None)
+    p.add_argument("--level0-pretrain-epochs", type=int, default=None)
+    # TPU-framework extensions
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--n-space", type=int, default=1,
+                   help="spatial-sharding mesh axis size")
+    p.add_argument("--concat-prev-probs", type=str, default="False",
+                   help="README-abstract image(+)probs conditioning variant")
+    p.add_argument("--lambda-cons", type=float, default=1.0)
+    p.add_argument("--lambda-kl", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile-dir", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def config_from_args(args):
+    from ..config.run import RunConfig
+
+    lr = ast.literal_eval(args.lr)
+    if isinstance(lr, (list, tuple)):
+        lr = float(lr[0])
+    lw = ast.literal_eval(args.level_weights) if args.level_weights else None
+    return RunConfig(
+        save_path=args.save_path,
+        data_root=args.root,
+        val_dataset=None if args.val_dataset == "None" else args.val_dataset,
+        tree_root=args.tree_root,
+        class_map=args.class_map,
+        model_weights=None if args.model_weights in ("None", "") else
+        args.model_weights,
+        model_select=args.model_select,
+        model_type=args.model_type,
+        img_size=args.img_size,
+        hrnet_yaml=args.config or None,
+        concat_prev_probs=_bool(args.concat_prev_probs),
+        compute_dtype=args.compute_dtype,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        val_batch=args.val_batch,
+        lr=float(lr),
+        lrs=_bool(args.lrs),
+        lrs_min=args.lrs_min,
+        level_weights=lw,
+        level0_pretrain_epochs=args.level0_pretrain_epochs,
+        lambda_cons=args.lambda_cons,
+        lambda_kl=args.lambda_kl,
+        num_workers=8 if args.num_workers == -1 else args.num_workers,
+        inc_cross_val=_bool(args.inc_cross_val),
+        folds=args.folds,
+        test_remove=_bool(args.test_remove),
+        seed=args.seed,
+        save_images_batch=_bool(args.save_images_batch),
+        save_images_batch_num=args.save_images_batch_num,
+        profile_dir=args.profile_dir,
+        n_space=args.n_space,
+    )
+
+
+def main(argv=None):
+    args = get_args(argv)
+    cfg = config_from_args(args)
+    from ..train.loop import train
+
+    results = train(cfg)
+    print("Finished Training", results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Run configuration: one dataclass replacing the reference's two-tier
+argparse-with-eval()-coercion + yacs scheme (train.py:714-826,
+config/default.py). CLI flag names are preserved verbatim by ``cli/train.py``
+for drop-in parity."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+__all__ = ["RunConfig"]
+
+
+@dataclass
+class RunConfig:
+    # paths
+    save_path: str = "runs/out"
+    data_root: str = ""
+    val_dataset: Optional[str] = None
+    tree_root: str = "assets/class_tree_tl.json"
+    class_map: str = "assets/class_map.csv"
+    model_weights: Optional[str] = None
+
+    # model
+    model_select: int = 0            # 0 UNet, 1 HRNet (train.py:732)
+    model_type: int = 1              # 0 flat, 1 hierarchical (train.py:731)
+    img_size: int = 352
+    hrnet_yaml: Optional[str] = None # reference --config
+    concat_prev_probs: bool = False  # README-abstract variant
+    compute_dtype: str = "float32"   # "bfloat16" for mixed precision
+
+    # optimization
+    epochs: int = 200
+    batch_size: int = 16
+    val_batch: int = 1
+    lr: float = 1e-4
+    lrs: bool = True                 # ReduceLROnPlateau on/off
+    lrs_min: float = 1e-6
+    level_weights: Optional[List[List[float]]] = None
+    level0_pretrain_epochs: Optional[int] = None
+    lambda_cons: float = 1.0
+    lambda_kl: float = 0.0           # reference intent 0.1, impl commented out
+    weight_decay: float = 0.01
+
+    # data
+    num_workers: int = 8
+    inc_cross_val: bool = True
+    folds: int = 0
+    test_remove: bool = True
+    seed: int = 0
+
+    # logging
+    save_images_batch: bool = False
+    save_images_batch_num: int = 10
+    profile_dir: Optional[str] = None
+
+    # parallelism
+    n_space: int = 1                 # spatial-sharding mesh axis size
+
+    @property
+    def hierarchical(self) -> bool:
+        return self.model_type == 1
+
+    def level_mask_for_epoch(self, epoch: int, n_levels: int) -> List[float]:
+        """train.py:125-133: cap supervised levels during level-0 pretraining.
+        ``epoch`` is 1-based as in the reference's loop (train.py:618)."""
+        if self.level0_pretrain_epochs is None:
+            return [1.0] * n_levels
+        cap = min(n_levels - 1, epoch // self.level0_pretrain_epochs)
+        return [1.0 if L <= cap else 0.0 for L in range(n_levels)]

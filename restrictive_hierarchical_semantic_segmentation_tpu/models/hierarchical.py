@@ -27,7 +27,7 @@ static width so every re-run shares one backbone signature).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -40,8 +40,8 @@ from .film import FiLM
 __all__ = ["HierarchicalSegmenter", "SegmenterOutput"]
 
 
-class SegmenterOutput(tuple):
-    """(probs_per_level, logits_per_level, q_per_level).
+class SegmenterOutput(NamedTuple):
+    """Model outputs (a NamedTuple so JAX flattens it as a pytree).
 
     flat mode: ``probs_per_level is None`` and ``logits_per_level == [logits]``
     (reference returns ``[], logits`` — models.py:261/:758).
@@ -49,12 +49,9 @@ class SegmenterOutput(tuple):
     the optional KL stabiliser.
     """
 
-    def __new__(cls, probs, logits, q):
-        return super().__new__(cls, (probs, logits, q))
-
-    probs_per_level = property(lambda s: s[0])
-    logits_per_level = property(lambda s: s[1])
-    q_per_level = property(lambda s: s[2])
+    probs_per_level: Optional[List]
+    logits_per_level: List
+    q_per_level: Optional[List]
 
 
 class HierarchicalSegmenter(nn.Module):

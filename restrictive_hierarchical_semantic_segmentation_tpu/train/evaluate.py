@@ -1,0 +1,195 @@
+"""Offline prediction/evaluation — library core of the predictEval CLI.
+
+Replicates predictEval.py:265-573: 5-fold batch inference, per-level metrics,
+per-class binary mask PNG dumps, metrics.csv — including the **flat-model
+hierarchy reconstruction** (predictEval.py:85-185): parent masks are unions of
+descendant leaf predictions, stitched back into per-level tensors so flat
+models are scored on the same per-level class set as hierarchical ones.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config.run import RunConfig
+from ..data.dataset import SegDataset
+from ..data.loader import BatchLoader, prefetch_to_device
+from ..hierarchy.tree import ClassTree
+from ..metrics.segmentation import MetricAccumulator, level_confusion_matrices
+from ..models.hierarchical import build_model
+from .loop import list_pairs
+from .state import create_train_state
+
+__all__ = ["reconstruct_levels_from_leaves", "Evaluator", "predict_eval"]
+
+
+def reconstruct_levels_from_leaves(
+    leaf_onehot: np.ndarray, tree: ClassTree
+) -> List[np.ndarray]:
+    """(B, H, W, n_leaves) one-hot leaf maps -> per-level (B, H, W, C_L)
+    tensors with parent channels = union of descendant leaves
+    (predictEval.py:85-129 ``get_parent_masks`` + :134-185 ``combine_levels``)."""
+    parent_union = {
+        p: (leaf_onehot[..., list(idxs)].max(-1))
+        for p, idxs in zip(tree.parent_names_bfs, tree.descendant_leaves)
+    }
+    out = []
+    for lvl in tree.levels:
+        chans = []
+        for name in lvl:
+            if tree.children[name]:
+                chans.append(parent_union[name])
+            else:
+                chans.append(leaf_onehot[..., tree.leaf_index[name]])
+        out.append(np.stack(chans, axis=-1).astype(np.float32))
+    return out
+
+
+class Evaluator:
+    """One fold's offline eval: forward -> (reconstruct) -> metrics -> dumps."""
+
+    def __init__(self, cfg: RunConfig, tree: ClassTree, data_root: str,
+                 weights_path: str, save_dir: Optional[str] = None,
+                 save_images: bool = True):
+        self.cfg = cfg
+        self.tree = tree
+        self.save_dir = save_dir
+        self.save_images = save_images and save_dir is not None
+        hier = cfg.hierarchical
+
+        imgs, labs = list_pairs(data_root)
+        self.target_paths = labs
+        self.loader = BatchLoader(
+            SegDataset(imgs, labs, tree, cfg.img_size, hier, augment=False),
+            batch_size=1, shuffle=False, drop_last=False,
+            num_workers=cfg.num_workers,
+        )
+
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        hrnet_cfg = None
+        if cfg.hrnet_yaml:
+            from ..config.hrnet import load_hrnet_yaml
+
+            hrnet_cfg = load_hrnet_yaml(cfg.hrnet_yaml)
+        self.model = build_model(
+            tree, cfg.model_select, cfg.model_type, hrnet_cfg, dtype,
+            cfg.concat_prev_probs,
+        )
+        sample = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
+        state, _ = create_train_state(
+            self.model, jax.random.PRNGKey(0), sample, lr=0.0
+        )
+        n_params = sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+        print("Number of model parameters: ", n_params)  # predictEval.py:259
+        if weights_path.endswith((".pt", ".pth")):
+            from .torch_import import load_donor_weights
+
+            params, bstats = load_donor_weights(
+                weights_path, state.params, state.batch_stats, cfg.model_select
+            )
+            state = state.replace(params=params, batch_stats=bstats)
+        else:
+            from .checkpoint import load_checkpoint
+
+            state, _ = load_checkpoint(weights_path, state)
+        self.state = state
+        self._forward = jax.jit(
+            lambda p, bs, x: self.model.apply(
+                {"params": p, "batch_stats": bs}, x, train=False
+            )
+        )
+        self.num_classes_per_level = list(tree.classes_per_level)
+
+    def run(self) -> dict:
+        cfg, tree = self.cfg, self.tree
+        acc = MetricAccumulator(self.num_classes_per_level)
+        if self.save_images:
+            for c in range(tree.num_classes):
+                os.makedirs(os.path.join(self.save_dir, str(c)), exist_ok=True)
+
+        for i, (x, y) in enumerate(self.loader):
+            out = self._forward(self.state.params, self.state.batch_stats, x)
+            if cfg.hierarchical:
+                scores = [np.asarray(z) for z in out.logits_per_level]
+                targets = [np.asarray(t) for t in tree.split_levels(y, axis=-1)]
+            else:
+                logits = np.asarray(out.logits_per_level[0])
+                leaf_oh = np.eye(tree.num_leaves, dtype=np.float32)[
+                    np.argmax(logits, -1)
+                ]
+                scores = reconstruct_levels_from_leaves(leaf_oh, tree)
+                targets = reconstruct_levels_from_leaves(
+                    np.asarray(y, np.float32), tree
+                )
+            cms = [
+                np.asarray(c)
+                for c in level_confusion_matrices(scores, targets)
+            ]
+            acc.update(cms)
+            if self.save_images:
+                self._dump(scores, targets, i)
+        return self._write_csv(acc)
+
+    def _dump(self, scores, targets, i):
+        """Per-class binary PNGs named after the source label file
+        (predictEval.py:501-513)."""
+        import cv2
+
+        base = os.path.basename(self.target_paths[i])
+        save_clss = 0
+        for lvl_scores, lvl_t in zip(scores, targets):
+            arr = np.asarray(lvl_scores[0])
+            pred = np.argmax(arr, -1)
+            masked = np.asarray(lvl_t[0]) == -1.0
+            for c in range(arr.shape[-1]):
+                img = (pred == c) & ~masked[..., c]
+                cv2.imwrite(
+                    os.path.join(self.save_dir, str(save_clss), base),
+                    (img * 255).astype(np.uint8),
+                )
+                save_clss += 1
+
+    def _write_csv(self, acc: MetricAccumulator) -> dict:
+        overall = acc.epoch_overall()
+        per_class = acc.epoch_per_class()
+        print("FINISHED TESTING")
+        for k in ("accuracy", "iou", "dice", "precision", "recall"):
+            print(f"Validation {k.capitalize() if k != 'iou' else 'IoU'}: ",
+                  overall[k])
+        if self.save_dir:
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(os.path.join(self.save_dir, "metrics.csv"), "w",
+                      newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["Type", "Class", "Accuracy", "IoU", "Dice",
+                            "Precision", "Recall"])  # predictEval.py:557
+                w.writerow(["Average", "All", overall["accuracy"],
+                            overall["iou"], overall["dice"],
+                            overall["precision"], overall["recall"]])
+                for c, m in enumerate(per_class):
+                    w.writerow(["Class", c, m["accuracy"], m["iou"], m["dice"],
+                                m["precision"], m["recall"]])
+        return {"overall": overall, "per_class": per_class,
+                "measure": acc.selection_metric()}
+
+
+def predict_eval(cfg: RunConfig, weights: List[str], roots: List[str],
+                 save_root: str, save_images: bool = True) -> List[dict]:
+    """All-folds driver (predictEval.py:265-299)."""
+    tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
+    results = []
+    for fold, (w, r) in enumerate(zip(weights, roots), start=1):
+        save_dir = os.path.join(save_root, f"fold_{fold}") if save_root else None
+        print(f"Fold {fold}: root={r} weights={w}")
+        ev = Evaluator(cfg, tree, r, w, save_dir, save_images)
+        results.append(ev.run())
+    return results

@@ -1,0 +1,273 @@
+"""Training driver: folds -> build -> epochs -> metrics.csv + best/last.
+
+Host-side orchestration around the jitted steps, replicating the reference's
+``train``/``train_epoch``/``test`` behaviors (train.py:161-710) with the §4
+defects fixed: every fold actually trains (defect #2), the loss signature
+accepts the lambda weights (defect #1), and the consistency term sees soft
+probabilities (defect #4).
+"""
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.run import RunConfig
+from ..data.dataset import SegDataset
+from ..data.loader import BatchLoader, prefetch_to_device
+from ..hierarchy.tree import ClassTree
+from ..metrics.segmentation import MetricAccumulator
+from ..models.hierarchical import build_model
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .checkpoint import CheckpointManager
+from .plateau import ReduceLROnPlateau
+from .state import create_train_state, set_learning_rate
+from .steps import make_eval_step, make_train_step
+
+__all__ = ["Trainer", "train", "list_pairs"]
+
+CSV_HEADER = [
+    "Epoch", "Train Loss", "Train Level Loss", "Train Accuracy", "Train IoU",
+    "Train Dice", "Train Precision", "Train Recall", "Train Class Metrics",
+    "Val Loss", "Val Level Loss", "Val Accuracy", "Val IoU", "Val Dice",
+    "Val Precision", "Val Recall", "Val Test Measure Mean",
+    "Val Test Measure Std", "Val Class Metrics",
+]  # train.py:637
+
+
+def list_pairs(root: str) -> Tuple[List[str], List[str]]:
+    """root/{images,labels}/* sorted (train.py:420-423)."""
+    imgs = sorted(glob.glob(os.path.join(root, "images", "*")))
+    labs = sorted(glob.glob(os.path.join(root, "labels", "*")))
+    if not imgs or len(imgs) != len(labs):
+        raise FileNotFoundError(
+            f"bad dataset at {root}: {len(imgs)} images / {len(labs)} labels"
+        )
+    return imgs, labs
+
+
+class Trainer:
+    """One fold's build + epoch machinery."""
+
+    def __init__(self, cfg: RunConfig, tree: ClassTree,
+                 train_root: str, val_root: Optional[str], save_loc: str):
+        self.cfg = cfg
+        self.tree = tree
+        self.save_loc = save_loc
+        os.makedirs(save_loc, exist_ok=True)
+
+        hier = cfg.hierarchical
+        self.num_classes_per_level = (
+            list(tree.classes_per_level) if hier else [tree.num_leaves]
+        )
+
+        # --- data -----------------------------------------------------------
+        tr_imgs, tr_labs = list_pairs(train_root)
+        if val_root:
+            va_imgs, va_labs = list_pairs(val_root)
+        else:
+            from ..data.loader import split_ids
+
+            tr_idx, _, va_idx = split_ids(len(tr_imgs), False, False, True)
+            va_imgs = [tr_imgs[i] for i in va_idx]
+            va_labs = [tr_labs[i] for i in va_idx]
+            tr_imgs = [tr_imgs[i] for i in tr_idx]
+            tr_labs = [tr_labs[i] for i in tr_idx]
+        self.train_loader = BatchLoader(
+            SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier, augment=True),
+            cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
+            num_workers=cfg.num_workers,
+        )
+        self.val_loader = BatchLoader(
+            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier, augment=False),
+            cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
+            num_workers=cfg.num_workers,
+        )
+
+        # --- mesh / model / state -------------------------------------------
+        self.mesh = make_mesh(n_space=cfg.n_space)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        hrnet_cfg = None
+        if cfg.hrnet_yaml:
+            from ..config.hrnet import load_hrnet_yaml
+
+            hrnet_cfg = load_hrnet_yaml(cfg.hrnet_yaml)
+        self.model = build_model(
+            tree, cfg.model_select, cfg.model_type, hrnet_cfg, dtype,
+            cfg.concat_prev_probs,
+        )
+        sample = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
+        self.state, self.tx = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), sample, cfg.lr,
+            cfg.weight_decay,
+        )
+        if cfg.model_weights:
+            from .torch_import import load_donor_weights
+
+            self.state = self.state.replace(
+                params=load_donor_weights(
+                    cfg.model_weights, self.state.params, cfg.model_select
+                )
+            )
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.batch_shard = batch_sharding(self.mesh)
+
+        lw = cfg.level_weights
+        self.train_step = make_train_step(
+            self.model, self.tx, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl
+        )
+        self.eval_step = make_eval_step(
+            self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,
+            return_outputs=cfg.save_images_batch,
+        )
+        self.scheduler = ReduceLROnPlateau(
+            cfg.lr, "max", 0.5, 3, min_lr=cfg.lrs_min
+        ) if cfg.lrs else None
+        self.ckpt = CheckpointManager(save_loc)
+        self.n_levels = len(self.num_classes_per_level)
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        self.train_loader.set_epoch(epoch)
+        mask = jnp.asarray(
+            cfg.level_mask_for_epoch(epoch, self.n_levels), jnp.float32
+        )
+        acc = MetricAccumulator(self.num_classes_per_level)
+        losses, level_losses = [], np.zeros((self.n_levels,))
+        t0 = time.time()
+        n = 0
+        for x, y in prefetch_to_device(self.train_loader, 2, self.batch_shard):
+            self.state, aux = self.train_step(self.state, x, y, mask)
+            losses.append(float(aux["loss"]))
+            level_losses += np.asarray(aux["per_level"])
+            acc.update([np.asarray(c) for c in aux["confmats"]])
+            n += 1
+        dt = time.time() - t0
+        overall = acc.epoch_overall()
+        denom = max(1, len(self.train_loader) * cfg.batch_size)
+        return {
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "level_loss": (level_losses / denom).tolist(),
+            "overall": overall,
+            "per_class": acc.epoch_per_class(),
+            "time": dt,
+            "steps": n,
+        }
+
+    def evaluate(self, epoch: int, dump_images: bool = False):
+        acc = MetricAccumulator(self.num_classes_per_level)
+        losses, level_losses = [], np.zeros((self.n_levels,))
+        first = True
+        for x, y in prefetch_to_device(self.val_loader, 2, self.batch_shard):
+            res = self.eval_step(self.state.params, self.state.batch_stats, x, y)
+            losses.append(float(res["loss"]))
+            level_losses += np.asarray(res["per_level"])
+            acc.update([np.asarray(c) for c in res["confmats"]])
+            if dump_images and first and "outputs" in res:
+                self._dump_images(res["outputs"], epoch)
+                first = False
+        mean, std = acc.selection_metric()
+        denom = max(1, len(self.val_loader) * self.cfg.val_batch)
+        return {
+            "loss": losses[-1] if losses else 0.0,  # train.py:341 (last batch)
+            "level_loss": (level_losses / denom).tolist(),
+            "overall": acc.epoch_overall(),
+            "per_class": acc.epoch_per_class(),
+            "measure_mean": mean,
+            "measure_std": std,
+        }
+
+    def _dump_images(self, outputs, epoch: int):
+        """Per-class binary prediction PNGs (train.py:370-385)."""
+        import cv2
+
+        save_clss = 0
+        for lvl_out in outputs:
+            arr = np.asarray(lvl_out[0])  # first image in batch (H, W, C)
+            pred = np.argmax(arr, -1)
+            for c in range(arr.shape[-1]):
+                d = os.path.join(self.save_loc, "images", str(save_clss))
+                os.makedirs(d, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(d, f"Epoch{epoch}.png"),
+                    ((pred == c) * 255).astype(np.uint8),
+                )
+                save_clss += 1
+
+    def run(self):
+        cfg = self.cfg
+        csv_path = os.path.join(self.save_loc, "metrics.csv")
+        if os.path.exists(csv_path):
+            os.remove(csv_path)  # train.py:599-600
+        for epoch in range(1, cfg.epochs + 1):
+            if self.scheduler:
+                self.state = set_learning_rate(self.state, self.scheduler.lr)
+            tr = self.train_epoch(epoch)
+            dump = cfg.save_images_batch and (
+                epoch % cfg.save_images_batch_num == 0 or epoch == 1
+            )
+            va = self.evaluate(epoch, dump_images=dump)
+            self._append_csv(csv_path, epoch, tr, va)
+            print(
+                f"Epoch {epoch}: train loss {tr['loss']:.4f} "
+                f"({tr['steps']} steps, {tr['time']:.1f}s) | "
+                f"val dice(no bg) {va['measure_mean']:.4f} "
+                f"iou {va['overall']['iou']:.4f} lr {self.state.lr():.5f}",
+                flush=True,
+            )
+            if self.scheduler:
+                self.scheduler.step(va["measure_mean"])
+            self.ckpt.update(
+                self.state, epoch, tr["loss"], va["measure_mean"],
+                va["measure_std"],
+            )
+        return self.ckpt.prev_best
+
+    def _append_csv(self, path, epoch, tr, va):
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(CSV_HEADER)
+            w.writerow([
+                epoch, tr["loss"], tr["level_loss"], tr["overall"]["accuracy"],
+                tr["overall"]["iou"], tr["overall"]["dice"],
+                tr["overall"]["precision"], tr["overall"]["recall"],
+                tr["per_class"], va["loss"], va["level_loss"],
+                va["overall"]["accuracy"], va["overall"]["iou"],
+                va["overall"]["dice"], va["overall"]["precision"],
+                va["overall"]["recall"], va["measure_mean"], va["measure_std"],
+                va["per_class"],
+            ])
+
+
+def train(cfg: RunConfig) -> List[Optional[float]]:
+    """All-folds driver (train.py:536-710; defect #2 fixed — every fold runs).
+
+    Cross-val layout: ``data_root/fold_N/{train,val}`` (train.py:796-803)."""
+    tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
+    results = []
+    folds = cfg.folds if cfg.inc_cross_val and cfg.folds > 0 else 1
+    for fold in range(1, folds + 1):
+        if cfg.inc_cross_val and cfg.folds > 0:
+            train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")
+            val_root = os.path.join(cfg.data_root, f"fold_{fold}", "val")
+        else:
+            train_root = os.path.join(cfg.data_root, "train")
+            val_root = cfg.val_dataset
+            if val_root is None:
+                cand = os.path.join(cfg.data_root, "val")
+                val_root = cand if os.path.exists(cand) else None
+        save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
+        print(f"Fold {fold}: train={train_root} val={val_root} -> {save_loc}")
+        trainer = Trainer(cfg, tree, train_root, val_root, save_loc)
+        results.append(trainer.run())
+    return results

@@ -1,0 +1,187 @@
+"""End-to-end smoke tests: full train loop on synthetic data (loss decreases,
+checkpoints and metrics.csv written), offline predict/eval including the
+flat-model hierarchy reconstruction, and the agreement CLI."""
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from restrictive_hierarchical_semantic_segmentation_tpu.config.run import RunConfig
+from restrictive_hierarchical_semantic_segmentation_tpu.data.synthetic import (
+    write_synth_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    write_synth_dataset(str(root), 8, size=96, seed=0, folds=2)
+    return str(root)
+
+
+def _cfg(root, save, assets_dir, **kw):
+    defaults = dict(
+        save_path=save,
+        data_root=root,
+        tree_root=str(assets_dir / "class_tree_tl.json"),
+        class_map=str(assets_dir / "class_map.csv"),
+        model_select=0,
+        model_type=1,
+        img_size=32,
+        epochs=2,
+        batch_size=2,
+        val_batch=1,
+        lr=1e-3,
+        num_workers=2,
+        inc_cross_val=True,
+        folds=2,
+        seed=0,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_train_loop_all_folds(tmp_path, synth_root, assets_dir, monkeypatch):
+    # shrink the UNet for test speed
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+
+    orig = H.build_model
+
+    def small(tree, model_select, model_type, hrnet_config=None,
+              dtype=None, concat_prev_probs=False):
+        import jax.numpy as jnp
+
+        return H.HierarchicalSegmenter(
+            tree=tree, backbone=UNetBackbone(base_ch=8),
+            hierarchical=model_type == 1,
+        )
+
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.loop.build_model",
+        small,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.loop import train
+
+    cfg = _cfg(synth_root, str(tmp_path / "run"), assets_dir,
+               save_images_batch=True, save_images_batch_num=1)
+    results = train(cfg)
+    assert len(results) == 2  # BOTH folds trained (reference defect #2 fixed)
+    for fold in (1, 2):
+        d = tmp_path / "run" / f"fold_{fold}"
+        assert (d / "best.ckpt").exists()
+        assert (d / "last.ckpt").exists()
+        with open(d / "metrics.csv") as f:
+            rows = list(csv.reader(f))
+        assert rows[0][0] == "Epoch"
+        assert len(rows) == 3  # header + 2 epochs
+        assert float(rows[1][1]) > 0  # train loss present
+    # image dumps
+    imgs = glob.glob(str(tmp_path / "run" / "fold_1" / "images" / "*" / "*.png"))
+    assert imgs
+
+
+def test_predict_eval_hier_and_flat(tmp_path, synth_root, assets_dir, monkeypatch):
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+
+    def small(tree, model_select, model_type, hrnet_config=None, dtype=None,
+              concat_prev_probs=False):
+        return H.HierarchicalSegmenter(
+            tree=tree, backbone=UNetBackbone(base_ch=8),
+            hierarchical=model_type == 1,
+        )
+
+    for mod in ("loop", "evaluate"):
+        monkeypatch.setattr(
+            f"restrictive_hierarchical_semantic_segmentation_tpu.train.{mod}."
+            "build_model",
+            small,
+        )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.evaluate import (
+        predict_eval,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.loop import train
+
+    for model_type in (1, 0):
+        run = str(tmp_path / f"run{model_type}")
+        cfg = _cfg(synth_root, run, assets_dir, model_type=model_type,
+                   epochs=1, folds=1)
+        train(cfg)
+        res = predict_eval(
+            cfg,
+            weights=[os.path.join(run, "fold_1", "best.ckpt")],
+            roots=[os.path.join(synth_root, "fold_1", "val")],
+            save_root=str(tmp_path / f"pred{model_type}"),
+        )
+        assert len(res) == 1
+        # scored on the full hierarchical class set in BOTH modes
+        assert len(res[0]["per_class"]) == 8
+        csv_path = tmp_path / f"pred{model_type}" / "fold_1" / "metrics.csv"
+        assert csv_path.exists()
+        dumps = glob.glob(str(tmp_path / f"pred{model_type}" / "fold_1" / "0" / "*"))
+        assert dumps
+
+
+def test_flat_reconstruction_exactness(default_tree):
+    """Parent channels must equal the union of descendant leaf predictions."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.evaluate import (
+        reconstruct_levels_from_leaves,
+    )
+
+    rng = np.random.default_rng(0)
+    leaf_cls = rng.integers(0, 7, (2, 8, 8))
+    leaf_oh = np.eye(7, dtype=np.float32)[leaf_cls]
+    levels = reconstruct_levels_from_leaves(leaf_oh, default_tree)
+    assert [l.shape[-1] for l in levels] == [4, 4]
+    tooth = levels[0][..., 3]
+    want = (leaf_cls >= 3).astype(np.float32)  # any of pulp..composite
+    np.testing.assert_array_equal(tooth, want)
+    np.testing.assert_array_equal(levels[1], leaf_oh[..., 3:])
+    np.testing.assert_array_equal(levels[0][..., 0], leaf_oh[..., 0])
+
+
+def test_agreement_cli(tmp_path):
+    import cv2
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.cli.agreement import (
+        agreement_from_masks,
+        run_agreement,
+    )
+
+    a = np.zeros((32, 32), np.uint8)
+    a[8:24, 8:24] = 255
+    b = np.zeros((32, 32), np.uint8)
+    b[8:24, 12:28] = 255
+    agr, fn, fp = agreement_from_masks(a, b)
+    # areas: ref(a)=256, test(b)=256, overlap=192, total=320
+    np.testing.assert_allclose(fn, (320 - 256) / 256)
+    np.testing.assert_allclose(fp, (320 - 256) / 256)
+    np.testing.assert_allclose(agr, 1 - 0.25)
+    # identical masks -> perfect agreement
+    agr2, _, _ = agreement_from_masks(a, a)
+    np.testing.assert_allclose(agr2, 1.0)
+
+    # file-level driver smoke: 1 patient, AP12 only
+    pred_dir = tmp_path / "preds"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir(), gt_dir.mkdir()
+    names = ["AP12A", "AP12P", "AP40A", "AP40P", "AP100A", "AP100P",
+             "AP200A", "AP200P"]
+    for series in ("Td", "Rd"):
+        for n in names:
+            cv2.imwrite(str(pred_dir / f"z1{series}-{n}.png"), a)
+        cv2.imwrite(str(gt_dir / f"z1{series}-OFR200.png"), b)
+    rep = run_agreement(str(pred_dir), str(gt_dir), ["OFR200"], ap_only=True)
+    vals = rep["OFR200"]["agreement"]["AP12"]
+    np.testing.assert_allclose(vals[0], 0.75)
