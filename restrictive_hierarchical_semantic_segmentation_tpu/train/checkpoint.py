@@ -5,14 +5,17 @@ optimizer_state_dict, loss, test_measure_mean, test_measure_std}`` as
 ``new_best.pt`` -> delete ``best.pt`` -> rename (two-phase, crash-safe-ish);
 same for ``last.pt``. Selection metric: val mean Dice excluding background.
 
-Here: orbax ``PyTreeCheckpointer`` writes to ``<name>.tmp`` then atomically
-renames over ``<name>`` (directories, since orbax checkpoints are dirs).
+Here: orbax ``StandardCheckpointer`` saves the full ``TrainState`` pytree
+(params + batch_stats + optimizer state + step) to ``<name>.tmp`` and renames
+over ``<name>``; the scalar metadata rides in a ``meta.json`` sidecar inside
+the checkpoint directory.
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -22,48 +25,37 @@ from .state import TrainState
 
 __all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
 
-
-def _to_saveable(state: TrainState, meta: Dict[str, Any]) -> Dict[str, Any]:
-    return {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": state.step,
-        "meta": {k: np.asarray(v) for k, v in meta.items()},
-    }
+_META = "rhss_meta.json"
 
 
 def save_checkpoint(path: str, state: TrainState, **meta) -> None:
     """Two-phase save: write ``path.tmp`` then rename over ``path``."""
     path = os.path.abspath(path)
     tmp = path + ".tmp"
-    for p in (tmp,):
-        if os.path.exists(p):
-            shutil.rmtree(p)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(tmp, _to_saveable(state, meta))
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp, state)
+    ckptr.wait_until_finished()
+    with open(os.path.join(tmp, _META), "w") as f:
+        json.dump({k: float(v) for k, v in meta.items()}, f)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
 
 
-def load_checkpoint(path: str, state: Optional[TrainState] = None):
-    """Load; with a template ``state``, restores onto its structure/shardings
-    and returns (state, meta). Without, returns the raw pytree."""
-    ckptr = ocp.PyTreeCheckpointer()
-    if state is None:
-        return ckptr.restore(os.path.abspath(path))
-    template = _to_saveable(state, {})
-    restored = ckptr.restore(
-        os.path.abspath(path), args=ocp.args.PyTreeRestore(item=template)
-    )
-    new_state = state.replace(
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        step=restored["step"],
-    )
-    return new_state, restored.get("meta", {})
+def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
+    """Restore onto the template ``state``'s structure/shardings; returns
+    (state, meta)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, args=ocp.args.StandardRestore(state))
+    meta_path = os.path.join(path, _META)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
 
 
 class CheckpointManager:

@@ -92,7 +92,13 @@ class Trainer:
         )
 
         # --- mesh / model / state -------------------------------------------
-        self.mesh = make_mesh(n_space=cfg.n_space)
+        # data-axis size must divide the per-step batch; use the largest
+        # divisor of batch_size that fits the available devices
+        import jax as _jax
+
+        avail = len(_jax.devices()) // cfg.n_space
+        n_data = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
+        self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:

@@ -1,20 +1,24 @@
-"""Test config: force an 8-device virtual CPU mesh BEFORE jax initializes.
+"""Test config: force an 8-device virtual CPU mesh BEFORE any backend use.
 
 This is the TPU-world "fake backend" for collectives — multi-chip sharding is
 validated on host CPU devices (the driver separately dry-runs the multi-chip
 path via ``__graft_entry__.dryrun_multichip``).
+
+NB: this environment boots an ``axon`` TPU plugin from sitecustomize and jax
+0.9 removed ``--xla_force_host_platform_device_count``; the reliable override
+is ``jax.config.update('jax_platforms'/'jax_num_cpu_devices')`` before the
+first backend touch.
 """
 import os
+import pathlib
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
-import pathlib  # noqa: E402
-import sys  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
