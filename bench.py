@@ -35,6 +35,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: the 620px hier-HRNet graph is large and
+    # cold-compiles take many minutes over the remote-compile tunnel
+    cache_dir = os.path.join(HERE, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -78,8 +85,16 @@ def main():
     y = np.full((B, S, S, n_classes), 0.0, np.float32)
     y[..., 0] = 1.0
     if not args.flat:
+        # realistic ternary structure: tooth occupies the central band with a
+        # child class inside; everything child-level outside tooth is -1
+        tooth = np.zeros((S, S), bool)
+        tooth[S // 4 : S // 2, :] = True
+        y[:, tooth, 0] = 0.0
+        y[:, tooth, 3] = 1.0
         a, b = tree.level_slices[1]
-        y[..., a:b] = -1.0  # realistic ternary sparsity
+        y[..., a:b] = -1.0
+        y[:, tooth, a] = 1.0
+        y[:, tooth, a + 1 :] = 0.0
 
     # reference recipe weights (README.md:71-91)
     lw = (

@@ -62,6 +62,7 @@ class SegDataset:
         hflip: bool = True,
         vflip: bool = False,
         affine: bool = True,
+        use_native: bool = True,
     ):
         assert len(input_paths) == len(target_paths)
         self.input_paths = list(input_paths)
@@ -73,6 +74,8 @@ class SegDataset:
         self.hflip = hflip
         self.vflip = vflip
         self.affine = affine
+        self.use_native = use_native
+        self._tables = None
 
     def __len__(self) -> int:
         return len(self.input_paths)
@@ -81,6 +84,13 @@ class SegDataset:
     def num_target_channels(self) -> int:
         return self.tree.num_classes if self.hierarchical else self.tree.num_leaves
 
+    def _target_tables(self):
+        if self._tables is None:
+            from .native import ChannelTables
+
+            self._tables = ChannelTables(self.tree, self.hierarchical)
+        return self._tables
+
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         if rng is None:
             rng = np.random.default_rng()
@@ -88,34 +98,57 @@ class SegDataset:
         x = decode_image(self.input_paths[index]).astype(np.float32) / 255.0
         mask = decode_mask(self.target_paths[index])
 
+        # draw ALL random params up-front in a fixed order so the numpy and
+        # native target paths are seed-for-seed identical
+        do_blur_jitter = self.augment
+        sigma = rng.uniform(0.001, 2.0) if do_blur_jitter else 0.0
+        do_hflip = bool(
+            self.augment and self.hflip and rng.uniform() > 0.5
+        )
+        do_vflip = bool(self.augment and self.vflip and rng.uniform() > 0.5)
+        aff = T.sample_affine(rng) if (self.augment and self.affine) else None
+
+        # ---- input chain (cv2-native already) ------------------------------
+        x = T.resize_bilinear_np(x, (s, s))
+        if do_blur_jitter:
+            x = T.gaussian_blur(x, sigma)
+            x = T.color_jitter(x, rng)
+        x = T.normalize(x)
+        if do_hflip:
+            x = T.hflip(x)
+        if do_vflip:
+            x = x[::-1].copy()
+        if aff is not None:
+            x = T.affine_nearest(x, aff, fill=-1.0)
+
+        # ---- target chain: fused C++ runtime, numpy fallback ---------------
+        if self.use_native and not do_vflip:
+            from .native import make_target_native
+
+            m = (
+                T.affine_forward_matrix(aff, s, s) if aff is not None else None
+            )
+            y = make_target_native(mask, self._target_tables(), s, do_hflip, m)
+            if y is not None:
+                return x.astype(np.float32), y
+
         y = (
             node_masks(mask, self.tree)
             if self.hierarchical
             else leaf_masks(mask, self.tree)
         ).astype(np.float32)
-
-        x = T.resize_bilinear_np(x, (s, s))
         y = T.resize_bilinear_np(y, (s, s))
-
-        if self.augment:
-            sigma = rng.uniform(0.001, 2.0)  # dataloaders.py:53
-            x = T.gaussian_blur(x, sigma)
-            x = T.color_jitter(x, rng)
-        x = T.normalize(x)
-
-        if self.augment and self.hflip and rng.uniform() > 0.5:
-            x, y = T.hflip(x), T.hflip(y)
-        if self.augment and self.vflip and rng.uniform() > 0.5:
-            x, y = x[::-1].copy(), y[::-1].copy()
-        if self.augment and self.affine:
-            p = T.sample_affine(rng)
-            x = T.affine_nearest(x, p, fill=-1.0)
+        if do_hflip:
+            y = T.hflip(y)
+        if do_vflip:
+            y = y[::-1].copy()
+        if aff is not None:
             chans = []
             for c in range(y.shape[-1]):
                 # dataset.py:446-451: channel 0 fills with its max value
                 # (out-of-frame stays background), the rest fill -1
                 fill = float(y[..., c].max()) if c == 0 else -1.0
-                yc = T.affine_nearest(np.ascontiguousarray(y[..., c]), p, fill)
+                yc = T.affine_nearest(np.ascontiguousarray(y[..., c]), aff, fill)
                 chans.append(yc[..., 0] if yc.ndim == 3 else yc)
             y = np.stack(chans, axis=-1)
 

@@ -148,6 +148,11 @@ def _torchvision_affine_matrix(params: AffineParams, h: int, w: int) -> np.ndarr
     return (pre @ m @ post)[:2]
 
 
+def affine_forward_matrix(params: AffineParams, h: int, w: int) -> np.ndarray:
+    """Expose the forward 2x3 matrix (for the native C++ sample factory)."""
+    return _torchvision_affine_matrix(params, h, w)
+
+
 def affine_nearest(
     img: np.ndarray, params: AffineParams, fill: float
 ) -> np.ndarray:
