@@ -49,7 +49,7 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
     (state, meta)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, args=ocp.args.StandardRestore(state))
+    restored = ckptr.restore(path, target=state)
     meta_path = os.path.join(path, _META)
     meta: Dict[str, Any] = {}
     if os.path.exists(meta_path):

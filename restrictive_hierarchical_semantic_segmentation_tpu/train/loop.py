@@ -99,6 +99,11 @@ class Trainer:
         avail = len(_jax.devices()) // cfg.n_space
         n_data = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
         self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space)
+        # eval batches (val_batch, often 1) need their own data-axis size
+        n_data_eval = max(
+            d for d in range(1, avail + 1) if cfg.val_batch % d == 0
+        )
+        self.eval_mesh = make_mesh(n_data=n_data_eval, n_space=cfg.n_space)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:
@@ -115,15 +120,29 @@ class Trainer:
             cfg.weight_decay,
         )
         if cfg.model_weights:
-            from .torch_import import load_donor_weights
+            if cfg.model_weights.endswith((".pt", ".pth")):
+                # donor torch checkpoint (fuzzy importer, train.py:470-505 /
+                # models.py:804-832 capability)
+                from .torch_import import load_donor_weights
 
-            self.state = self.state.replace(
-                params=load_donor_weights(
-                    cfg.model_weights, self.state.params, cfg.model_select
+                params, bstats = load_donor_weights(
+                    cfg.model_weights, self.state.params,
+                    self.state.batch_stats, cfg.model_select,
                 )
-            )
+                self.state = self.state.replace(
+                    params=params, batch_stats=bstats
+                )
+            else:
+                # resume from one of our own orbax checkpoints
+                from .checkpoint import load_checkpoint
+
+                self.state, meta = load_checkpoint(
+                    cfg.model_weights, self.state
+                )
+                print(f"Resumed from {cfg.model_weights}: {meta}")
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
+        self.eval_batch_shard = batch_sharding(self.eval_mesh)
 
         lw = cfg.level_weights
         self.train_step = make_train_step(
@@ -150,12 +169,19 @@ class Trainer:
         losses, level_losses = [], np.zeros((self.n_levels,))
         t0 = time.time()
         n = 0
-        for x, y in prefetch_to_device(self.train_loader, 2, self.batch_shard):
-            self.state, aux = self.train_step(self.state, x, y, mask)
-            losses.append(float(aux["loss"]))
-            level_losses += np.asarray(aux["per_level"])
-            acc.update([np.asarray(c) for c in aux["confmats"]])
-            n += 1
+        # profile epoch 2 (first steady-state epoch) when requested
+        from ..utils.profiling import trace
+
+        profile = cfg.profile_dir if epoch == 2 else None
+        with trace(profile):
+            for x, y in prefetch_to_device(
+                self.train_loader, 2, self.batch_shard
+            ):
+                self.state, aux = self.train_step(self.state, x, y, mask)
+                losses.append(float(aux["loss"]))
+                level_losses += np.asarray(aux["per_level"])
+                acc.update([np.asarray(c) for c in aux["confmats"]])
+                n += 1
         dt = time.time() - t0
         overall = acc.epoch_overall()
         denom = max(1, len(self.train_loader) * cfg.batch_size)
@@ -172,7 +198,8 @@ class Trainer:
         acc = MetricAccumulator(self.num_classes_per_level)
         losses, level_losses = [], np.zeros((self.n_levels,))
         first = True
-        for x, y in prefetch_to_device(self.val_loader, 2, self.batch_shard):
+        for x, y in prefetch_to_device(self.val_loader, 2,
+                                       self.eval_batch_shard):
             res = self.eval_step(self.state.params, self.state.batch_stats, x, y)
             losses.append(float(res["loss"]))
             level_losses += np.asarray(res["per_level"])

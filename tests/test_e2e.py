@@ -168,9 +168,10 @@ def test_agreement_cli(tmp_path):
     np.testing.assert_allclose(fn, (320 - 256) / 256)
     np.testing.assert_allclose(fp, (320 - 256) / 256)
     np.testing.assert_allclose(agr, 1 - 0.25)
-    # identical masks -> perfect agreement
+    # reference quirk (AgreementModule.py:67-68): fn==0 and fp==0 (identical
+    # or both-empty masks) forces agreement to 0 — replicated for parity
     agr2, _, _ = agreement_from_masks(a, a)
-    np.testing.assert_allclose(agr2, 1.0)
+    np.testing.assert_allclose(agr2, 0.0)
 
     # file-level driver smoke: 1 patient, AP12 only
     pred_dir = tmp_path / "preds"
