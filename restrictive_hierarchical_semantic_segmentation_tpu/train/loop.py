@@ -99,11 +99,6 @@ class Trainer:
         avail = len(_jax.devices()) // cfg.n_space
         n_data = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
         self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space)
-        # eval batches (val_batch, often 1) need their own data-axis size
-        n_data_eval = max(
-            d for d in range(1, avail + 1) if cfg.val_batch % d == 0
-        )
-        self.eval_mesh = make_mesh(n_data=n_data_eval, n_space=cfg.n_space)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:
@@ -142,7 +137,16 @@ class Trainer:
                 print(f"Resumed from {cfg.model_weights}: {meta}")
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
-        self.eval_batch_shard = batch_sharding(self.eval_mesh)
+        # eval batches (val_batch, often 1, ragged last batch) ride the SAME
+        # mesh with the batch dim replicated over `data` — keeps one device
+        # set, stays shape-flexible, still spatially sharded over `space`
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SPACE_AXIS
+
+        self.eval_batch_shard = NamedSharding(
+            self.mesh, P(None, SPACE_AXIS, None, None)
+        )
 
         lw = cfg.level_weights
         self.train_step = make_train_step(
