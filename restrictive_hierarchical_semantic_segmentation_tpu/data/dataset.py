@@ -76,6 +76,13 @@ class SegDataset:
         self.affine = affine
         self.use_native = use_native
         self._tables = None
+        # augmentation-independent per-image caches, reused across epochs:
+        # channel bitmasks ((index, size) -> (S, S) uint32, ~1.5MB/img @620)
+        # and decoded+resized [0,1] images (~4.6MB/img @620). The reference
+        # re-decodes every epoch; identical values, just cached.
+        self._bits_cache: dict = {}
+        self._img_cache: dict = {}
+        self.cache_images = True
 
     def __len__(self) -> int:
         return len(self.input_paths)
@@ -95,8 +102,15 @@ class SegDataset:
         if rng is None:
             rng = np.random.default_rng()
         s = self.img_size
-        x = decode_image(self.input_paths[index]).astype(np.float32) / 255.0
-        mask = decode_mask(self.target_paths[index])
+        x = self._img_cache.get((index, s))
+        if x is None:
+            x = decode_image(self.input_paths[index]).astype(np.float32) / 255.0
+            x = T.resize_bilinear_np(x, (s, s))
+            if self.cache_images:
+                self._img_cache[(index, s)] = x
+        mask = None
+        if not (self.use_native and (index, s) in self._bits_cache):
+            mask = decode_mask(self.target_paths[index])
 
         # draw ALL random params up-front in a fixed order so the numpy and
         # native target paths are seed-for-seed identical
@@ -108,9 +122,9 @@ class SegDataset:
         do_vflip = bool(self.augment and self.vflip and rng.uniform() > 0.5)
         aff = T.sample_affine(rng) if (self.augment and self.affine) else None
 
-        # ---- input chain (cv2-native already) ------------------------------
-        x = T.resize_bilinear_np(x, (s, s))
+        # ---- input chain (cv2-native already; resize done at cache fill) ---
         if do_blur_jitter:
+            x = x.copy()  # cached base must stay pristine
             x = T.gaussian_blur(x, sigma)
             x = T.color_jitter(x, rng)
         x = T.normalize(x)
@@ -128,10 +142,15 @@ class SegDataset:
             m = (
                 T.affine_forward_matrix(aff, s, s) if aff is not None else None
             )
-            y = make_target_native(mask, self._target_tables(), s, do_hflip, m)
+            y = make_target_native(
+                mask, self._target_tables(), s, do_hflip, m,
+                bits_cache=self._bits_cache, cache_key=(index, s),
+            )
             if y is not None:
                 return x.astype(np.float32), y
 
+        if mask is None:
+            mask = decode_mask(self.target_paths[index])
         y = (
             node_masks(mask, self.tree)
             if self.hierarchical

@@ -52,14 +52,16 @@ def gaussian_blur(img: np.ndarray, sigma: float, ksize: int = 25) -> np.ndarray:
 
 
 def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:
-    return np.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0).astype(np.float32)
+    if isinstance(b, np.ndarray) and b.shape == a.shape:
+        out = cv2.addWeighted(a, factor, b, 1.0 - factor, 0.0)  # SIMD path
+    else:
+        out = factor * a + (1.0 - factor) * b
+    return np.clip(out, 0.0, 1.0, out=out).astype(np.float32, copy=False)
 
 
 def _grayscale(img: np.ndarray) -> np.ndarray:
-    # ITU-R 601 luma, torchvision rgb_to_grayscale convention
-    return (0.2989 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[
-        ..., None
-    ].astype(np.float32)
+    # ITU-R 601 luma (cv2 and torchvision rgb_to_grayscale share the weights)
+    return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
 
 
 def _adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
@@ -90,9 +92,9 @@ def color_jitter(
         if op == 0:
             img = _blend(img, 0.0, fb)
         elif op == 1:
-            img = _blend(img, _grayscale(img).mean(), fc)
+            img = _blend(img, float(_grayscale(img).mean()), fc)
         elif op == 2:
-            img = _blend(img, _grayscale(img), fs)
+            img = _blend(img, np.repeat(_grayscale(img), 3, axis=-1), fs)
         else:
             img = np.clip(_adjust_hue(img, fh), 0.0, 1.0)
     return img.astype(np.float32)

@@ -3,20 +3,31 @@
 // only C++/CUDA was the dead InPlace-ABN extension; here native code earns
 // its keep on the host decode/augment path that feeds the chips).
 //
-// Fuses the per-channel target chain of Data/dataset.py:397-476 into one
-// OpenMP-parallel call with EXACT semantics:
-//   raw pixel-coded mask
-//     -> per-channel binary masks (leaf LUT / parent = union of descendants)
-//     -> half-pixel bilinear resize to (S, S)      [cv2.INTER_LINEAR parity]
-//     -> optional horizontal flip
-//     -> optional nearest-neighbor inverse affine  [torchvision TF.affine
-//        parity; channel 0 fills with its max, others with -1]
-//     -> re-binarize at 0.5
-//     -> optional ternary restrictive encoding (1 / 0 inside parent / -1)
+// Implements the per-channel target chain of Data/dataset.py:397-476 with
+// EXACT semantics but a restructured algorithm:
 //
-// Exposed as a C ABI for ctypes (no pybind11 in this image). Built by
-// runtime/Makefile into libsample_factory.so; the Python loader falls back to
-// the pure-numpy path when the library is absent (tests compare both).
+//   reference order:  per-channel binary mask -> bilinear resize -> hflip ->
+//                     nearest affine (ch0 fills with its max, others -1) ->
+//                     threshold 0.5 -> ternary encode
+//
+//   here:             (1) RESIZE+THRESHOLD fused into one pass producing a
+//                         per-pixel channel BITMASK: channel value at an
+//                         output pixel is the 4-neighbor bilinear sum of the
+//                         channel indicator, so bit_c = (sum >= 0.5). This is
+//                         bit-identical to resizing each channel plane and
+//                         thresholding, at O(4) per pixel instead of O(C)
+//                         full planes. The bitmask is cacheable across epochs
+//                         (it is augmentation-independent).
+//                     (2) HFLIP+AFFINE as a single nearest gather on the
+//                         bitmask — valid because nearest-neighbor gathering
+//                         commutes with thresholding; the reference's fill
+//                         conventions (-1 -> 0 after threshold; channel 0
+//                         keeps its max) become per-channel fill bits.
+//                     (3) TERNARY+EXPAND to float32 channels in one pass.
+//
+// C ABI for ctypes (no pybind11 in this image); built by runtime/Makefile.
+// Python falls back to the pure-numpy path when unavailable; the two are
+// compared in tests/test_native_runtime.py.
 
 #include <algorithm>
 #include <cmath>
@@ -28,138 +39,156 @@
 #include <omp.h>
 #endif
 
-namespace {
-
-// Half-pixel bilinear sample of a float image (matches cv2.INTER_LINEAR /
-// torch interpolate align_corners=False).
-inline float bilinear_at(const float* img, int h, int w, float sy, float sx) {
-  sy = std::min(std::max(sy, 0.0f), (float)(h - 1));
-  sx = std::min(std::max(sx, 0.0f), (float)(w - 1));
-  int y0 = (int)sy, x0 = (int)sx;
-  int y1 = std::min(y0 + 1, h - 1), x1 = std::min(x0 + 1, w - 1);
-  float fy = sy - y0, fx = sx - x0;
-  float a = img[y0 * w + x0], b = img[y0 * w + x1];
-  float c = img[y1 * w + x0], d = img[y1 * w + x1];
-  return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) +
-         d * fy * fx;
-}
-
-}  // namespace
-
 extern "C" {
 
-// Build one sample's target tensor.
-//   mask:        (h, w) uint8 pixel-coded label image
-//   out:         (S, S, n_channels) float32, channel-last
-//   channel_nvals / channel_vals: per-channel pixel-value sets (parents carry
-//                their descendant leaves' values), flattened
-//   parent_channel: per-channel index of the direct parent channel, -1 = root
-//                (roots also mark flat mode when all are -1 w/ hier=0)
-//   hier:        apply ternary encoding iff != 0
-//   do_hflip:    apply horizontal flip
-//   affine:      6-double row-major forward matrix [a b tx; c d ty] mapping
-//                input->output coords (inverted internally), or null
-// Returns 0 on success.
-int rhss_make_target(const uint8_t* mask, int h, int w, int S,
-                     const int32_t* channel_nvals,
-                     const int32_t* channel_vals, int n_channels,
+// Stage 1: pixel-coded mask (h, w) -> channel bitmask (S, S) uint32.
+//   channel_nvals/channel_vals: per-channel pixel-value sets (parents carry
+//   their descendant leaves' values), flattened. n_channels <= 32.
+int rhss_mask_bits(const uint8_t* mask, int h, int w, int S,
+                   const int32_t* channel_nvals, const int32_t* channel_vals,
+                   int n_channels, uint32_t* bits_out) {
+  if (n_channels > 32) return 1;
+  // per-pixel-value channel membership bitmask
+  uint32_t member[256];
+  std::memset(member, 0, sizeof(member));
+  int off = 0;
+  for (int c = 0; c < n_channels; ++c) {
+    for (int k = 0; k < channel_nvals[c]; ++k)
+      member[channel_vals[off + k] & 0xff] |= (1u << c);
+    off += channel_nvals[c];
+  }
+  const float sy_scale = (float)h / S, sx_scale = (float)w / S;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < S; ++y) {
+    float sy = (y + 0.5f) * sy_scale - 0.5f;
+    sy = std::min(std::max(sy, 0.0f), (float)(h - 1));
+    const int y0 = (int)sy, y1 = std::min(y0 + 1, h - 1);
+    const float fy = sy - y0;
+    for (int x = 0; x < S; ++x) {
+      float sx = (x + 0.5f) * sx_scale - 0.5f;
+      sx = std::min(std::max(sx, 0.0f), (float)(w - 1));
+      const int x0 = (int)sx, x1 = std::min(x0 + 1, w - 1);
+      const float fx = sx - x0;
+      const uint32_t m00 = member[mask[y0 * w + x0]];
+      const uint32_t m01 = member[mask[y0 * w + x1]];
+      const uint32_t m10 = member[mask[y1 * w + x0]];
+      const uint32_t m11 = member[mask[y1 * w + x1]];
+      const float w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+      const float w10 = fy * (1 - fx), w11 = fy * fx;
+      uint32_t bits = 0;
+      const uint32_t any = m00 | m01 | m10 | m11;
+      for (int c = 0; c < n_channels; ++c) {
+        const uint32_t b = 1u << c;
+        if (!(any & b)) continue;
+        const float v = (m00 & b ? w00 : 0.f) + (m01 & b ? w01 : 0.f) +
+                        (m10 & b ? w10 : 0.f) + (m11 & b ? w11 : 0.f);
+        if (v >= 0.5f) bits |= b;
+      }
+      bits_out[y * S + x] = bits;
+    }
+  }
+  return 0;
+}
+
+// Stage 2: bitmask (S, S) -> augmented float32 target (S, S, C).
+//   do_hflip: horizontal flip first (matches resize->hflip->affine order).
+//   affine:   forward 2x3 row-major matrix [a b tx; c d ty] or null;
+//             applied with nearest gathering (torchvision TF.affine default).
+//   parent_channel: direct-parent channel per channel, -1 for roots.
+//   hier:     ternary restrictive encoding iff != 0 (dataset.py:227-265).
+// Fill semantics out-of-frame (dataset.py:446-451 + threshold): channel 0
+// gets its global max bit, others 0.
+int rhss_expand_bits(const uint32_t* bits, int S, int n_channels,
                      const int32_t* parent_channel, int hier, int do_hflip,
                      const double* affine, float* out) {
-  // per-channel binary masks at native resolution
-  std::vector<float> native((size_t)n_channels * h * w);
-  std::vector<int> val_off(n_channels + 1, 0);
-  for (int c = 0; c < n_channels; ++c)
-    val_off[c + 1] = val_off[c] + channel_nvals[c];
-
-  // 256-entry membership LUT per channel (bitset over channels <= 32 here;
-  // use bytes for generality)
-  std::vector<uint8_t> lut((size_t)n_channels * 256, 0);
-  for (int c = 0; c < n_channels; ++c)
-    for (int k = val_off[c]; k < val_off[c + 1]; ++k)
-      lut[(size_t)c * 256 + (channel_vals[k] & 0xff)] = 1;
-
-#pragma omp parallel for schedule(static)
-  for (int c = 0; c < n_channels; ++c) {
-    const uint8_t* l = &lut[(size_t)c * 256];
-    float* dst = &native[(size_t)c * h * w];
-    for (int i = 0; i < h * w; ++i) dst[i] = (float)l[mask[i]];
+  // channel-0 fill bit = does channel 0 appear anywhere?
+  uint32_t fill_bits = 0;
+  if (affine) {
+    for (int i = 0; i < S * S; ++i)
+      if (bits[i] & 1u) { fill_bits = 1u; break; }
   }
-
-  // resize + flip + affine + threshold, channel-parallel
-  const float sy_scale = (float)h / S, sx_scale = (float)w / S;
   double inv[6] = {1, 0, 0, 0, 1, 0};
   if (affine) {
     const double a = affine[0], b = affine[1], tx = affine[2];
     const double c2 = affine[3], d = affine[4], ty = affine[5];
     const double det = a * d - b * c2;
-    inv[0] = d / det;
-    inv[1] = -b / det;
-    inv[2] = (b * ty - d * tx) / det;
-    inv[3] = -c2 / det;
-    inv[4] = a / det;
-    inv[5] = (c2 * tx - a * ty) / det;
+    inv[0] = d / det;  inv[1] = -b / det; inv[2] = (b * ty - d * tx) / det;
+    inv[3] = -c2 / det; inv[4] = a / det; inv[5] = (c2 * tx - a * ty) / det;
   }
-
-  std::vector<float> resized((size_t)n_channels * S * S);
-#pragma omp parallel for schedule(static)
-  for (int c = 0; c < n_channels; ++c) {
-    const float* src = &native[(size_t)c * h * w];
-    float* mid = &resized[(size_t)c * S * S];
-    // bilinear resize (half-pixel) with optional hflip fused in
-    for (int y = 0; y < S; ++y) {
-      const float sy = (y + 0.5f) * sy_scale - 0.5f;
-      for (int x = 0; x < S; ++x) {
-        const int xo = do_hflip ? (S - 1 - x) : x;
-        const float sx = (x + 0.5f) * sx_scale - 0.5f;
-        mid[y * S + xo] = bilinear_at(src, h, w, sy, sx);
-      }
-    }
-    if (affine) {
-      // fill: channel 0 keeps its max (background stays background
-      // out-of-frame), others -1 (dataset.py:446-451)
-      float fill = -1.0f;
-      if (c == 0) {
-        fill = 0.0f;
-        for (int i = 0; i < S * S; ++i) fill = std::max(fill, mid[i]);
-      }
-      std::vector<float> warped((size_t)S * S);
-      for (int y = 0; y < S; ++y) {
-        for (int x = 0; x < S; ++x) {
-          // nearest: round the inverse-mapped source coordinate
-          const double sxf = inv[0] * x + inv[1] * y + inv[2];
-          const double syf = inv[3] * x + inv[4] * y + inv[5];
-          const long xs = std::lround(sxf), ys = std::lround(syf);
-          warped[y * S + x] =
-              (xs >= 0 && xs < S && ys >= 0 && ys < S)
-                  ? mid[ys * S + xs]
-                  : fill;
+  // For small channel counts, precompute the full bits-value -> output-row
+  // LUT (2^C rows of C floats); expansion becomes gather + row copy.
+  const bool use_lut = n_channels <= 12;
+  std::vector<float> lut;
+  if (use_lut) {
+    const size_t rows = (size_t)1 << n_channels;
+    lut.resize(rows * n_channels);
+    for (size_t b = 0; b < rows; ++b) {
+      float* o = &lut[b * n_channels];
+      for (int c = 0; c < n_channels; ++c) {
+        const int on = (int)((b >> c) & 1);
+        if (hier && parent_channel[c] >= 0) {
+          const int p = parent_channel[c];
+          o[c] = on ? 1.0f : (((b >> p) & 1) ? 0.0f : -1.0f);
+        } else {
+          o[c] = (float)on;
         }
       }
-      std::memcpy(mid, warped.data(), sizeof(float) * S * S);
     }
-    // threshold 0.5 (dataset.py:454-455)
-    for (int i = 0; i < S * S; ++i) mid[i] = mid[i] >= 0.5f ? 1.0f : 0.0f;
   }
 
-  // channel-last output with optional ternary encoding
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < S; ++y) {
     for (int x = 0; x < S; ++x) {
+      uint32_t b;
+      if (affine) {
+        const double sxf = inv[0] * x + inv[1] * y + inv[2];
+        const double syf = inv[3] * x + inv[4] * y + inv[5];
+        const long xs = std::lround(sxf), ys = std::lround(syf);
+        if (xs >= 0 && xs < S && ys >= 0 && ys < S) {
+          const long xg = do_hflip ? (S - 1 - xs) : xs;
+          b = bits[ys * S + xg];
+        } else {
+          b = fill_bits;
+        }
+      } else {
+        const int xg = do_hflip ? (S - 1 - x) : x;
+        b = bits[y * S + xg];
+      }
       float* o = &out[((size_t)y * S + x) * n_channels];
-      for (int c = 0; c < n_channels; ++c)
-        o[c] = resized[(size_t)c * S * S + y * S + x];
-      if (hier) {
-        for (int c = n_channels - 1; c >= 0; --c) {
+      if (use_lut) {
+        std::memcpy(o, &lut[(size_t)b * n_channels],
+                    sizeof(float) * n_channels);
+        continue;
+      }
+      for (int c = 0; c < n_channels; ++c) {
+        const int on = (b >> c) & 1;
+        if (hier) {
           const int p = parent_channel[c];
-          if (p < 0) continue;  // root: stays 0/1
-          const float child = resized[(size_t)c * S * S + y * S + x];
-          const float par = resized[(size_t)p * S * S + y * S + x];
-          o[c] = child > 0 ? 1.0f : (par > 0 ? 0.0f : -1.0f);
+          if (p < 0) {
+            o[c] = (float)on;
+          } else {
+            o[c] = on ? 1.0f : (((b >> p) & 1) ? 0.0f : -1.0f);
+          }
+        } else {
+          o[c] = (float)on;
         }
       }
     }
   }
   return 0;
+}
+
+// Convenience: both stages in one call (no caching).
+int rhss_make_target(const uint8_t* mask, int h, int w, int S,
+                     const int32_t* channel_nvals, const int32_t* channel_vals,
+                     int n_channels, const int32_t* parent_channel, int hier,
+                     int do_hflip, const double* affine, float* out) {
+  std::vector<uint32_t> bits((size_t)S * S);
+  int rc = rhss_mask_bits(mask, h, w, S, channel_nvals, channel_vals,
+                          n_channels, bits.data());
+  if (rc) return rc;
+  return rhss_expand_bits(bits.data(), S, n_channels, parent_channel, hier,
+                          do_hflip, affine, out);
 }
 
 int rhss_num_threads() {
