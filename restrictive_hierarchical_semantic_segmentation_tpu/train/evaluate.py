@@ -55,6 +55,9 @@ class Evaluator:
     def __init__(self, cfg: RunConfig, tree: ClassTree, data_root: str,
                  weights_path: str, save_dir: Optional[str] = None,
                  save_images: bool = True):
+        from ..utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
         self.cfg = cfg
         self.tree = tree
         self.save_dir = save_dir

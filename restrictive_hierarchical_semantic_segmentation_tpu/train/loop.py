@@ -62,6 +62,9 @@ class Trainer:
         self.tree = tree
         self.save_loc = save_loc
         os.makedirs(save_loc, exist_ok=True)
+        from ..utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
 
         hier = cfg.hierarchical
         self.num_classes_per_level = (
