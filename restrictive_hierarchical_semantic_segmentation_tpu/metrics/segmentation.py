@@ -85,9 +85,23 @@ def level_confusion_matrices(
             valid = t != 0  # ignore_index=0 (performance_metrics.py:62)
         else:
             valid = jnp.ones_like(t, dtype=bool)
-        idx = jnp.where(valid, t * c + p, c * c)  # invalid -> overflow bin
-        flat = jnp.zeros((c * c + 1,), jnp.int32).at[idx].add(1)
-        mats.append(flat[: c * c].reshape(c, c))
+        n = p.shape[0]
+        if n < (1 << 23):
+            # MXU path: one-hot contraction. Exact in fp32 while every cell
+            # count stays below 2^24; HIGHEST precision keeps fp32 on TPU.
+            t_oh = jax.nn.one_hot(t, c, dtype=jnp.float32)
+            t_oh = t_oh * valid.astype(jnp.float32)[:, None]
+            p_oh = jax.nn.one_hot(p, c, dtype=jnp.float32)
+            cm = jnp.einsum(
+                "nc,nd->cd", t_oh, p_oh,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+        else:
+            # scatter fallback for huge pixel counts
+            idx = jnp.where(valid, t * c + p, c * c)
+            flat = jnp.zeros((c * c + 1,), jnp.int32).at[idx].add(1)
+            cm = flat[: c * c].reshape(c, c)
+        mats.append(cm)
     return mats
 
 
