@@ -6,7 +6,7 @@ reference's YAML layout so existing config files keep working.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 __all__ = ["HRNetStage", "HRNetConfig", "hrnet_w48", "hrnet_w18", "hrnet_w32",

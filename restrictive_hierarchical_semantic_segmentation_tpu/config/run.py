@@ -4,8 +4,8 @@ config/default.py). CLI flag names are preserved verbatim by ``cli/train.py``
 for drop-in parity."""
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional
 
 __all__ = ["RunConfig"]
 

@@ -31,7 +31,7 @@ All reductions are fp32 regardless of compute dtype.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

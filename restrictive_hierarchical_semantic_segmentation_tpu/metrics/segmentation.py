@@ -24,7 +24,7 @@ Reference semantics replicated exactly (verified against torch oracles in
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ Differences from the torch original (deliberate, TPU-first):
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

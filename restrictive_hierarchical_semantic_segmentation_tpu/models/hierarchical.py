@@ -27,7 +27,7 @@ static width so every re-run shares one backbone signature).
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -61,7 +61,15 @@ class HierarchicalSegmenter(nn.Module):
     final_conv_kernel: int = 1       # HRNet FINAL_CONV_KERNEL (yaml:18)
     align_corners: bool = True       # for logit upsampling (HRNet path)
     concat_prev_probs: bool = False  # README-abstract variant (off = code parity)
+    remat: bool = False              # jax.checkpoint each backbone re-run
     dtype: jnp.dtype = jnp.float32
+
+    def _run_backbone(self, x, train: bool):
+        """One donor pass; with ``remat=True`` the D re-runs' activations are
+        rematerialized in backward (FLOPs for HBM — large-batch scaling)."""
+        if not self.remat:
+            return self.backbone(x, train=train)
+        return nn.remat(lambda m, xx: m(xx, train=train))(self.backbone, x)
 
     def _head(self, feats, out_ch: int, name: str):
         pad = 1 if self.final_conv_kernel == 3 else 0
@@ -95,7 +103,7 @@ class HierarchicalSegmenter(nn.Module):
         t = self.tree
 
         if not self.hierarchical:
-            feats = self.backbone(self._backbone_input(x, None), train=train)
+            feats = self._run_backbone(self._backbone_input(x, None), train)
             z = self._head(feats, t.num_leaves, "head_flat")
             z = self._maybe_upsample(z, hw)
             return SegmenterOutput(None, [z.astype(jnp.float32)], None)
@@ -106,7 +114,7 @@ class HierarchicalSegmenter(nn.Module):
 
         # Level 0: independent parent probabilities via sigmoid
         # (models.py:267-271 / :763-769)
-        feats = self.backbone(self._backbone_input(x, None), train=train)
+        feats = self._run_backbone(self._backbone_input(x, None), train)
         z0 = self._maybe_upsample(
             self._head(feats, t.classes_per_level[0], "head_l0"), hw
         ).astype(jnp.float32)
@@ -117,8 +125,8 @@ class HierarchicalSegmenter(nn.Module):
         # Levels >= 1: recurrent backbone re-run + FiLM + restrictive head
         # (models.py:275-305 / :772-798)
         for L in range(1, t.num_levels):
-            feats = self.backbone(
-                self._backbone_input(x, probs[L - 1]), train=train
+            feats = self._run_backbone(
+                self._backbone_input(x, probs[L - 1]), train
             )
             feats = FiLM(dtype=self.dtype, name=f"film_l{L}")(
                 feats, probs[L - 1].astype(self.dtype)

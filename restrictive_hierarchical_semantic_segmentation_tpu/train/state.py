@@ -8,10 +8,9 @@ plateau scheduler can update it without recompiling the jitted step.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 import optax
 

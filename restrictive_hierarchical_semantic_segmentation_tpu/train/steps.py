@@ -15,11 +15,9 @@ float vector so epoch changes don't recompile.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from ..hierarchy.tree import ClassTree
 from ..losses.hierarchical import hierarchical_loss
