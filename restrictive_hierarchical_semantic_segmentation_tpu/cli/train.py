@@ -63,6 +63,8 @@ def get_args(argv=None):
                    help="spatial-sharding mesh axis size")
     p.add_argument("--concat-prev-probs", type=str, default="False",
                    help="README-abstract image(+)probs conditioning variant")
+    p.add_argument("--remat", type=str, default="False",
+                   help="rematerialize backbone re-runs (memory for FLOPs)")
     p.add_argument("--lambda-cons", type=float, default=1.0)
     p.add_argument("--lambda-kl", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
@@ -90,6 +92,7 @@ def config_from_args(args):
         img_size=args.img_size,
         hrnet_yaml=args.config or None,
         concat_prev_probs=_bool(args.concat_prev_probs),
+        remat=_bool(args.remat),
         compute_dtype=args.compute_dtype,
         epochs=args.epochs,
         batch_size=args.batch_size,

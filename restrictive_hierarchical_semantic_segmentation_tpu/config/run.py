@@ -26,6 +26,7 @@ class RunConfig:
     img_size: int = 352
     hrnet_yaml: Optional[str] = None # reference --config
     concat_prev_probs: bool = False  # README-abstract variant
+    remat: bool = False              # rematerialize backbone re-runs
     compute_dtype: str = "float32"   # "bfloat16" for mixed precision
 
     # optimization

@@ -151,6 +151,7 @@ def build_model(
     hrnet_config=None,
     dtype=jnp.float32,
     concat_prev_probs: bool = False,
+    remat: bool = False,
 ) -> HierarchicalSegmenter:
     """Factory matching the reference CLI conventions (train.py:456-462):
     ``model_select`` 0 = UNet, 1 = HRNet; ``model_type`` 0 = flat, 1 = hier."""
@@ -173,5 +174,6 @@ def build_model(
         final_conv_kernel=final_k,
         align_corners=ac,
         concat_prev_probs=concat_prev_probs,
+        remat=remat,
         dtype=dtype,
     )

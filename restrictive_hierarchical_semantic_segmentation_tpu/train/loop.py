@@ -109,7 +109,7 @@ class Trainer:
             hrnet_cfg = load_hrnet_yaml(cfg.hrnet_yaml)
         self.model = build_model(
             tree, cfg.model_select, cfg.model_type, hrnet_cfg, dtype,
-            cfg.concat_prev_probs,
+            cfg.concat_prev_probs, cfg.remat,
         )
         sample = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
         self.state, self.tx = create_train_state(
