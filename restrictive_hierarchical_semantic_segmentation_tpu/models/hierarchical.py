@@ -18,6 +18,15 @@ its head and FiLM parameters. BatchNorm batch statistics are updated on every
 re-run, matching the reference's D-updates-per-step behavior (SURVEY.md §7
 hard-part 3).
 
+**Compiler-level win (measured):** because FiLM conditions *after* the
+backbone, every re-run sees identical inputs and weights, so XLA's common-
+subexpression elimination merges the D passes into ONE — compiled FLOPs of
+the hierarchical model equal the flat model's (0.230 vs 0.229 GFLOPs for a
+test config), whereas the eager reference genuinely pays D full passes
+(SURVEY §3.2 "cost structure"). Only ``concat_prev_probs=True`` (whose
+re-runs truly differ) pays D passes (0.468 GFLOPs). Semantics are unchanged —
+this is the functional/XLA formulation of the exact same math.
+
 Config extension (SURVEY.md "critical reading note"): the README abstract
 describes concatenating previous-level logits to the input image; the
 reference *code* conditions only through FiLM. ``concat_prev_probs=True``

@@ -184,7 +184,16 @@ class Trainer:
                 self.train_loader, 2, self.batch_shard
             ):
                 self.state, aux = self.train_step(self.state, x, y, mask)
-                losses.append(float(aux["loss"]))
+                loss_val = float(aux["loss"])
+                if not np.isfinite(loss_val):
+                    # failure detection the reference lacks (SURVEY §5.3):
+                    # fail fast with context instead of training on garbage
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {epoch} "
+                        f"step {n} (lr={self.state.lr():.2e}); last per-level "
+                        f"losses: {np.asarray(aux['per_level']).tolist()}"
+                    )
+                losses.append(loss_val)
                 level_losses += np.asarray(aux["per_level"])
                 acc.update([np.asarray(c) for c in aux["confmats"]])
                 n += 1

@@ -54,8 +54,7 @@ def test_train_loop_all_folds(tmp_path, synth_root, assets_dir, monkeypatch):
 
     orig = H.build_model
 
-    def small(tree, model_select, model_type, hrnet_config=None,
-              dtype=None, concat_prev_probs=False):
+    def small(tree, model_select, model_type, *args, **kwargs):
         import jax.numpy as jnp
 
         return H.HierarchicalSegmenter(
@@ -95,8 +94,7 @@ def test_predict_eval_hier_and_flat(tmp_path, synth_root, assets_dir, monkeypatc
         UNetBackbone,
     )
 
-    def small(tree, model_select, model_type, hrnet_config=None, dtype=None,
-              concat_prev_probs=False):
+    def small(tree, model_select, model_type, *args, **kwargs):
         return H.HierarchicalSegmenter(
             tree=tree, backbone=UNetBackbone(base_ch=8),
             hierarchical=model_type == 1,

@@ -22,8 +22,7 @@ def test_extended_tree_train_and_eval(tmp_path, assets_dir, extended_tree,
         UNetBackbone,
     )
 
-    def small(tree, model_select, model_type, hrnet_config=None, dtype=None,
-              concat_prev_probs=False):
+    def small(tree, model_select, model_type, *args, **kwargs):
         return H.HierarchicalSegmenter(
             tree=tree, backbone=UNetBackbone(base_ch=8),
             hierarchical=model_type == 1,
