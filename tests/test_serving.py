@@ -1,0 +1,70 @@
+"""Serving predictor: weight-baked compiled inference matches the eval path."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from restrictive_hierarchical_semantic_segmentation_tpu.config.run import RunConfig
+from restrictive_hierarchical_semantic_segmentation_tpu.data.synthetic import (
+    write_synth_dataset,
+)
+
+
+def test_predictor_roundtrip(tmp_path, assets_dir, default_tree, monkeypatch):
+    import jax
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.serving import (
+        Predictor,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    small_model = H.HierarchicalSegmenter(
+        tree=default_tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    state, _ = create_train_state(small_model, jax.random.PRNGKey(0), x[:1], 0.0)
+    ckpt = str(tmp_path / "best.ckpt")
+    save_checkpoint(ckpt, state, epoch=1, loss=0.0, test_measure_mean=0.5,
+                    test_measure_std=0.0)
+
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.serving."
+        "build_model",
+        lambda *a, **k: small_model,
+    )
+    cfg = RunConfig(tree_root=str(assets_dir / "class_tree_tl.json"),
+                    class_map=str(assets_dir / "class_map.csv"),
+                    model_select=0, model_type=1, img_size=32)
+    pred = Predictor(cfg, ckpt, tree=default_tree)
+    pred.warmup(batch=2)
+    out = pred(x)
+    assert len(out["class_maps"]) == 2
+    assert out["class_maps"][0].shape == (2, 32, 32)
+    assert out["class_maps"][0].dtype == np.int32
+    assert out["probs"][1].shape == (2, 32, 32, 4)
+
+    # parity vs direct eval apply
+    direct = small_model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x,
+        train=False,
+    )
+    np.testing.assert_allclose(
+        out["logits"][0], np.asarray(direct.logits_per_level[0]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        out["class_maps"][1],
+        np.argmax(np.asarray(direct.logits_per_level[1]), -1),
+    )
