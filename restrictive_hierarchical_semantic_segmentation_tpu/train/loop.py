@@ -179,25 +179,32 @@ class Trainer:
         from ..utils.profiling import trace
 
         profile = cfg.profile_dir if epoch == 2 else None
+        # per-step aux stays ON DEVICE during the epoch (reading it would
+        # force a host sync each step and serialize dispatch); everything is
+        # fetched in one transfer after the last step
+        device_aux = []
         with trace(profile):
             for x, y in prefetch_to_device(
                 self.train_loader, 2, self.batch_shard
             ):
                 self.state, aux = self.train_step(self.state, x, y, mask)
-                loss_val = float(aux["loss"])
-                if not np.isfinite(loss_val):
-                    # failure detection the reference lacks (SURVEY §5.3):
-                    # fail fast with context instead of training on garbage
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_val} at epoch {epoch} "
-                        f"step {n} (lr={self.state.lr():.2e}); last per-level "
-                        f"losses: {np.asarray(aux['per_level']).tolist()}"
-                    )
-                losses.append(loss_val)
-                level_losses += np.asarray(aux["per_level"])
-                acc.update([np.asarray(c) for c in aux["confmats"]])
+                device_aux.append(aux)
                 n += 1
+        all_aux = jax.device_get(device_aux)
         dt = time.time() - t0
+        for step_idx, aux in enumerate(all_aux):
+            loss_val = float(aux["loss"])
+            if not np.isfinite(loss_val):
+                # failure detection the reference lacks (SURVEY §5.3):
+                # fail fast with context instead of training on garbage
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at epoch {epoch} "
+                    f"step {step_idx} (lr={self.state.lr():.2e}); per-level "
+                    f"losses: {np.asarray(aux['per_level']).tolist()}"
+                )
+            losses.append(loss_val)
+            level_losses += np.asarray(aux["per_level"])
+            acc.update([np.asarray(c) for c in aux["confmats"]])
         overall = acc.epoch_overall()
         denom = max(1, len(self.train_loader) * cfg.batch_size)
         return {
