@@ -53,6 +53,9 @@ def get_args(argv=None):
     p.add_argument("--save-images-batch-num", type=int, default=10)
     p.add_argument("--inc-cross-val", type=str, default="True")
     p.add_argument("--folds", type=int, default=0)
+    p.add_argument("--fold", type=int, default=0,
+                   help=">0: run only this fold (launch folds in parallel "
+                        "across hosts/slices — each fold is self-contained)")
     p.add_argument("--config", type=str, default="")
     p.add_argument("--level-weights", type=str, default=None)
     p.add_argument("--level0-pretrain-epochs", type=int, default=None)
@@ -107,6 +110,7 @@ def config_from_args(args):
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         inc_cross_val=_bool(args.inc_cross_val),
         folds=args.folds,
+        fold=args.fold,
         test_remove=_bool(args.test_remove),
         seed=args.seed,
         save_images_batch=_bool(args.save_images_batch),

@@ -46,6 +46,7 @@ class RunConfig:
     num_workers: int = 8
     inc_cross_val: bool = True
     folds: int = 0
+    fold: int = 0                    # >0: train ONLY this fold (fold-parallel)
     test_remove: bool = True
     seed: int = 0
 

@@ -311,7 +311,8 @@ def train(cfg: RunConfig) -> List[Optional[float]]:
     tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
     results = []
     folds = cfg.folds if cfg.inc_cross_val and cfg.folds > 0 else 1
-    for fold in range(1, folds + 1):
+    fold_ids = [cfg.fold] if cfg.fold > 0 else list(range(1, folds + 1))
+    for fold in fold_ids:
         if cfg.inc_cross_val and cfg.folds > 0:
             train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")
             val_root = os.path.join(cfg.data_root, f"fold_{fold}", "val")
