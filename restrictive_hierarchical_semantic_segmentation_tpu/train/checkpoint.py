@@ -73,14 +73,18 @@ class CheckpointManager:
         return os.path.join(self.save_dir, "last.ckpt")
 
     def update(self, state: TrainState, epoch: int, loss: float,
-               test_measure_mean: float, test_measure_std: float) -> bool:
+               test_measure_mean: float, test_measure_std: float,
+               **extra_meta) -> bool:
         """Save last; save best iff the selection metric improved
-        (train.py:664: strictly greater). Returns True if best updated."""
+        (train.py:664: strictly greater). Returns True if best updated.
+        ``extra_meta``: additional scalars (e.g. scheduler state for exact
+        resume) stored in the meta sidecar."""
         meta = dict(
             epoch=epoch,
             loss=loss,
             test_measure_mean=test_measure_mean,
             test_measure_std=test_measure_std,
+            **extra_meta,
         )
         is_best = self.prev_best is None or test_measure_mean > self.prev_best
         if is_best:

@@ -280,9 +280,14 @@ class Trainer:
             )
             if self.scheduler:
                 self.scheduler.step(va["measure_mean"])
+            sched_meta = (
+                {f"sched_{k}": (v if v is not None else float("nan"))
+                 for k, v in self.scheduler.state_dict().items()}
+                if self.scheduler else {}
+            )
             self.ckpt.update(
                 self.state, epoch, tr["loss"], va["measure_mean"],
-                va["measure_std"],
+                va["measure_std"], **sched_meta,
             )
         return self.ckpt.prev_best
 
