@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config.run import RunConfig
 from ..data.dataset import SegDataset
-from ..data.loader import BatchLoader, prefetch_to_device
+from ..data.loader import BatchLoader
 from ..hierarchy.tree import ClassTree
 from ..metrics.segmentation import MetricAccumulator, level_confusion_matrices
 from ..models.hierarchical import build_model
