@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import ast
-import sys
 
 
 def _bool(s) -> bool:

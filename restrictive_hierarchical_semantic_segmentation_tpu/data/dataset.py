@@ -106,7 +106,9 @@ class SegDataset:
         if x is None:
             x = decode_image(self.input_paths[index]).astype(np.float32) / 255.0
             x = T.resize_bilinear_np(x, (s, s))
-            if self.cache_images:
+            # bounded: ~4.6MB/entry at 620px; enough for TL-pano-scale
+            # datasets, bypassed automatically for huge corpora
+            if self.cache_images and len(self._img_cache) < 4096:
                 self._img_cache[(index, s)] = x
         mask = None
         if not (self.use_native and (index, s) in self._bits_cache):
