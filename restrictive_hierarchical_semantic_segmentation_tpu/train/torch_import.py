@@ -91,8 +91,13 @@ def translate_flax_path(
     else:  # HRNet
         m = re.fullmatch(r"stem_(conv|bn)(\d)", name)
         if m:
-            t = f"{m.group(1)}{int(m.group(2)) + 1}"
-            cands += conv(t) if m.group(1) == "conv" else bn(t)
+            kind, i = m.group(1), int(m.group(2))
+            # reference model naming: stem Sequential (models.py:578-585)
+            seq = (0 if i == 0 else 3) + (1 if kind == "bn" else 0)
+            cands += (conv if kind == "conv" else bn)(f"stem.{seq}")
+            # upstream published-checkpoint naming: conv1/bn1/conv2/bn2
+            t = f"{kind}{i + 1}"
+            cands += conv(t) if kind == "conv" else bn(t)
         m = re.fullmatch(r"layer1/block(\d+)/(\w+)", name)
         if m:
             cands += _hrnet_block(f"layer1.{m.group(1)}", m.group(2), conv, bn)

@@ -37,10 +37,12 @@ def test_translate_unet_paths():
 
 
 def test_translate_hrnet_paths():
+    # both the reference model's Sequential naming and the upstream
+    # published-checkpoint naming must be candidates
     assert translate_flax_path(("backbone", "stem_conv0", "kernel"),
-                               "params", 1) == ["conv1.weight"]
+                               "params", 1) == ["stem.0.weight", "conv1.weight"]
     assert translate_flax_path(("backbone", "stem_bn1", "scale"),
-                               "params", 1) == ["bn2.weight"]
+                               "params", 1) == ["stem.4.weight", "bn2.weight"]
     assert translate_flax_path(
         ("backbone", "layer1", "block0", "downsample_conv", "kernel"),
         "params", 1) == ["layer1.0.downsample.0.weight"]
