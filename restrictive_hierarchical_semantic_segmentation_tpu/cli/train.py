@@ -69,6 +69,9 @@ def get_args(argv=None):
                    help="rematerialize backbone re-runs (memory for FLOPs)")
     p.add_argument("--lambda-cons", type=float, default=1.0)
     p.add_argument("--lambda-kl", type=float, default=0.0)
+    p.add_argument("--use-ohem", type=str, default="False")
+    p.add_argument("--ohem-thres", type=float, default=0.9)
+    p.add_argument("--ohem-keep", type=int, default=100000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile-dir", type=str, default=None)
     return p.parse_args(argv)
@@ -106,6 +109,9 @@ def config_from_args(args):
         level0_pretrain_epochs=args.level0_pretrain_epochs,
         lambda_cons=args.lambda_cons,
         lambda_kl=args.lambda_kl,
+        use_ohem=_bool(args.use_ohem),
+        ohem_thres=args.ohem_thres,
+        ohem_keep=args.ohem_keep,
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         inc_cross_val=_bool(args.inc_cross_val),
         folds=args.folds,

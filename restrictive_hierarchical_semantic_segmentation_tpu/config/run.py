@@ -40,6 +40,9 @@ class RunConfig:
     level0_pretrain_epochs: Optional[int] = None
     lambda_cons: float = 1.0
     lambda_kl: float = 0.0           # reference intent 0.1, impl commented out
+    use_ohem: bool = False           # reference dead config keys, made real
+    ohem_thres: float = 0.9          # config/default.py:49 OHEMTHRES
+    ohem_keep: int = 100000          # config/default.py:50 OHEMKEEP
     weight_decay: float = 0.01
 
     # data

@@ -106,6 +106,31 @@ def masked_soft_dice(
     return loss_sum, jnp.sum(ok.astype(jnp.float32))
 
 
+def ohem_select(
+    logits: jax.Array,
+    targets: jax.Array,
+    thres: float = 0.9,
+    min_kept: int = 100000,
+) -> jax.Array:
+    """Online hard-example mining mask (B, H, W) — the reference ships OHEM
+    only as dead yacs config keys (config/default.py:48-50 USE_OHEM/OHEMTHRES/
+    OHEMKEEP, never consumed; SURVEY §2.19). Implemented here with the
+    upstream HRNet-Semantic-Seg semantics, jit-static: keep valid pixels whose
+    true-class probability is below ``max(kth_smallest, thres)``, guaranteeing
+    at least ``min_kept`` pixels survive per image.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    t = targets.astype(jnp.float32)
+    valid = jnp.any(t == 1.0, axis=-1)  # pixels with a positive class
+    p_true = jnp.sum(jnp.where(t == 1.0, probs, 0.0), axis=-1)
+    hw = p_true.shape[1] * p_true.shape[2]
+    k = int(min(min_kept, hw))
+    flat = jnp.where(valid, p_true, 2.0).reshape(p_true.shape[0], -1)
+    kth = -jax.lax.top_k(-flat, k)[0][:, -1]  # kth smallest per image
+    t_eff = jnp.maximum(kth, thres)[:, None, None]
+    return valid & (p_true <= t_eff)
+
+
 def consistency_loss(
     probs_per_level: Sequence[jax.Array],
     tree: ClassTree,
@@ -142,6 +167,7 @@ def hierarchical_loss(
     lambda_cons: float = 1.0,
     lambda_kl: float = 0.0,
     dice_smooth: float = 0.0,
+    ohem: Optional[tuple] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Total loss = sum_L m_L * (CE_L + Dice_L) + lambda_cons * consistency
     [+ lambda_kl * KL]  (train.py:111-152 ``get_loss``; fixed per SURVEY §4
@@ -160,7 +186,16 @@ def hierarchical_loss(
         w = None if level_weights is None else jnp.asarray(
             level_weights[L], jnp.float32
         )
-        ce = masked_cross_entropy(logits_per_level[L], targets_per_level[L], w)
+        ce_targets = targets_per_level[L]
+        if ohem is not None:
+            # hard-example mining: de-selected pixels become -1 (ignored by
+            # the same masking machinery as the restrictive targets)
+            thres, min_kept = ohem
+            keep = ohem_select(logits_per_level[L], ce_targets, thres, min_kept)
+            ce_targets = jnp.where(
+                keep[..., None], ce_targets.astype(jnp.float32), -1.0
+            )
+        ce = masked_cross_entropy(logits_per_level[L], ce_targets, w)
         dsum, dcnt = masked_soft_dice(
             logits_per_level[L], targets_per_level[L], w, dice_smooth
         )

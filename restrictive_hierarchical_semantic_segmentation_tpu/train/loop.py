@@ -151,12 +151,14 @@ class Trainer:
         )
 
         lw = cfg.level_weights
+        ohem = (cfg.ohem_thres, cfg.ohem_keep) if cfg.use_ohem else None
         self.train_step = make_train_step(
-            self.model, self.tx, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl
+            self.model, self.tx, tree, hier, lw, cfg.lambda_cons,
+            cfg.lambda_kl, ohem=ohem,
         )
         self.eval_step = make_eval_step(
             self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,
-            return_outputs=cfg.save_images_batch,
+            ohem=ohem, return_outputs=cfg.save_images_batch,
         )
         self.scheduler = ReduceLROnPlateau(
             cfg.lr, "max", 0.5, 3, min_lr=cfg.lrs_min

@@ -54,6 +54,7 @@ def make_train_step(
     lambda_cons: float = 1.0,
     lambda_kl: float = 0.0,
     dice_smooth: float = 0.0,
+    ohem=None,
     compute_metrics: bool = True,
     donate: bool = True,
 ) -> Callable:
@@ -79,6 +80,7 @@ def make_train_step(
             lambda_cons=lambda_cons,
             lambda_kl=lambda_kl,
             dice_smooth=dice_smooth,
+            ohem=ohem,
         )
         return total, (updates["batch_stats"], per_level, out)
 
@@ -116,6 +118,7 @@ def make_eval_step(
     lambda_cons: float = 1.0,
     lambda_kl: float = 0.0,
     dice_smooth: float = 0.0,
+    ohem=None,
     return_outputs: bool = False,
 ) -> Callable:
     """Jitted ``eval_step(params, batch_stats, images, targets) ->
@@ -137,6 +140,7 @@ def make_eval_step(
             lambda_cons=lambda_cons,
             lambda_kl=lambda_kl,
             dice_smooth=dice_smooth,
+            ohem=ohem,
         )
         scores = _metric_outputs(out, hierarchical)
         res = {
