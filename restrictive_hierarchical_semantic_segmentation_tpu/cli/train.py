@@ -43,6 +43,8 @@ def get_args(argv=None):
     p.add_argument("--model-select", type=int, default=0, choices=[0, 1])
     p.add_argument("--val-batch", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=-1)
+    p.add_argument("--loader", type=str, default="threads",
+                   choices=["threads", "grain"])
     p.add_argument("--learning-rate-scheduler", type=str, default="true",
                    dest="lrs")
     p.add_argument("--learning-rate-scheduler-minimum", type=float,
@@ -112,6 +114,7 @@ def config_from_args(args):
         use_ohem=_bool(args.use_ohem),
         ohem_thres=args.ohem_thres,
         ohem_keep=args.ohem_keep,
+        loader=args.loader,
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         inc_cross_val=_bool(args.inc_cross_val),
         folds=args.folds,

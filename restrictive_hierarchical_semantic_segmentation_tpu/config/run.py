@@ -46,6 +46,7 @@ class RunConfig:
     weight_decay: float = 0.01
 
     # data
+    loader: str = "threads"          # "threads" (BatchLoader) | "grain"
     num_workers: int = 8
     inc_cross_val: bool = True
     folds: int = 0

@@ -82,15 +82,27 @@ class Trainer:
             va_labs = [tr_labs[i] for i in va_idx]
             tr_imgs = [tr_imgs[i] for i in tr_idx]
             tr_labs = [tr_labs[i] for i in tr_idx]
-        self.train_loader = BatchLoader(
+        loader_cls = BatchLoader
+        loader_kw = dict(num_workers=cfg.num_workers)
+        if cfg.loader == "grain":
+            from ..data.grain_pipeline import GrainLoader, grain_available
+
+            if grain_available():
+                loader_cls = GrainLoader
+                # in-process (0 workers): grain worker processes re-run this
+                # environment's TPU-claiming sitecustomize and crash; grain
+                # still provides determinism/sharding/epoch handling. Flip to
+                # process workers on standard multi-core hosts if needed.
+                loader_kw = dict(num_workers=0)
+        self.train_loader = loader_cls(
             SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier, augment=True),
             cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
-            num_workers=cfg.num_workers,
+            **loader_kw,
         )
-        self.val_loader = BatchLoader(
+        self.val_loader = loader_cls(
             SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier, augment=False),
             cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
-            num_workers=cfg.num_workers,
+            **loader_kw,
         )
 
         # --- mesh / model / state -------------------------------------------
