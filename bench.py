@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--flat", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone re-runs (bandwidth for FLOPs)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +75,7 @@ def main():
         model_select=1 if args.model == "hrnet" else 0,
         model_type=0 if args.flat else 1,
         dtype=dtype,
+        remat=args.remat,
     )
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on the data axis
@@ -116,11 +119,16 @@ def main():
 
     for _ in range(args.warmup):
         state, aux = step(state, xd, yd, mask)
-    jax.block_until_ready(aux["loss"])
+    # NB: on this tunneled backend jax.block_until_ready() returns without
+    # draining the execution queue — the only reliable synchronization is an
+    # actual value fetch. The final loss depends (by dataflow) on every
+    # previous step's parameter update, so fetching it times the whole chain;
+    # the scalar transfer itself is microseconds.
+    float(aux["loss"])
     t0 = time.time()
     for _ in range(args.steps):
         state, aux = step(state, xd, yd, mask)
-    jax.block_until_ready(aux["loss"])
+    float(aux["loss"])
     dt = (time.time() - t0) / args.steps
     ips = B / dt
     ips_per_chip = ips / max(1, n_chips)

@@ -142,13 +142,13 @@ def consistency_loss(
     for L in range(1, tree.num_levels):
         p_prev = probs_per_level[L - 1].astype(jnp.float32)
         p_cur = probs_per_level[L].astype(jnp.float32)
-        A = jnp.asarray(tree.child_to_parent[L])  # (C_child, C_parent)
-        # sum of children per parent channel: masked sum along child axis
-        child_sum = jnp.sum(
-            jnp.where(A > 0, p_cur[..., :, None], 0.0), axis=-2
-        )  # (..., C_parent)
+        pidx = np.asarray(tree.parent_index[L])
+        # static per-parent member lists: slice+sum, never a
+        # (..., C_child, C_parent) broadcast (HBM blowup at full res)
         for p_idx in tree.parents_with_children[L].tolist():
-            diff = jnp.abs(child_sum[..., p_idx] - p_prev[..., p_idx])
+            members = [c for c in range(len(pidx)) if int(pidx[c]) == p_idx]
+            child_sum = jnp.sum(p_cur[..., members], axis=-1)
+            diff = jnp.abs(child_sum - p_prev[..., p_idx])
             total = total + jnp.mean(diff)
             count += 1
     if count == 0:

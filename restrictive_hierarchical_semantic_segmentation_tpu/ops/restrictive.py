@@ -52,26 +52,36 @@ def gated_grouped_softmax(
     Returns:
       (Q, P_child): the conditional ``Q_{c|p}`` and composed ``P_c = P_p * Q``.
     """
-    pidx = jnp.asarray(parent_index)
-    member = jnp.asarray(child_to_parent) > 0  # (C_child, C_parent) bool
+    pidx_np = np.asarray(parent_index)
+    pidx = jnp.asarray(pidx_np)
+    n_child = int(pidx_np.shape[0])
+    # static member lists per parent group (tree structure is static)
+    groups = {}
+    for c in range(n_child):
+        groups.setdefault(int(pidx_np[c]), []).append(c)
 
     p_gathered = jnp.take(p_parent, pidx, axis=-1)  # (..., C_child)
     gated = z_children + jnp.log(p_gathered + _EPS)
 
-    # Per-group max for numerical stability: max over children of each parent.
-    # Mask non-members with -inf via the assignment mask, reduce, re-gather.
-    neg_inf = jnp.asarray(-jnp.inf, gated.dtype)
-    # (..., C_child, 1) vs (C_child, C_parent) -> (..., C_parent)
-    group_max = jnp.max(
-        jnp.where(member, gated[..., :, None], neg_inf), axis=-2
-    )
-    gated = gated - jnp.take(group_max, pidx, axis=-1)
+    # Per-group softmax via STATIC per-child sibling reductions. The groups
+    # are tiny and known at trace time, so this unrolls into slices/maxima of
+    # (..., |group|) tensors — crucially NEVER materializing a
+    # (..., C_child, C_parent) broadcast, which at 620x620 activations would
+    # be the dominant HBM traffic of the whole model.
+    group_max_c = [None] * n_child
+    for members in groups.values():
+        m = jnp.max(gated[..., members], axis=-1)
+        for c in members:
+            group_max_c[c] = m
+    gated = gated - jnp.stack(group_max_c, axis=-1)
 
     e = jnp.exp(gated)
-    group_sum = jnp.sum(
-        jnp.where(member, e[..., :, None], jnp.zeros((), e.dtype)), axis=-2
-    )
-    q = e / jnp.take(group_sum, pidx, axis=-1)
+    group_sum_c = [None] * n_child
+    for members in groups.values():
+        s = jnp.sum(e[..., members], axis=-1)
+        for c in members:
+            group_sum_c[c] = s
+    q = e / jnp.stack(group_sum_c, axis=-1)
     return q, p_gathered * q
 
 
