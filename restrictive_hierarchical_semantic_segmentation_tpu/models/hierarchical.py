@@ -18,14 +18,15 @@ its head and FiLM parameters. BatchNorm batch statistics are updated on every
 re-run, matching the reference's D-updates-per-step behavior (SURVEY.md §7
 hard-part 3).
 
-**Compiler-level win (measured):** because FiLM conditions *after* the
-backbone, every re-run sees identical inputs and weights, so XLA's common-
-subexpression elimination merges the D passes into ONE — compiled FLOPs of
-the hierarchical model equal the flat model's (0.230 vs 0.229 GFLOPs for a
-test config), whereas the eager reference genuinely pays D full passes
-(SURVEY §3.2 "cost structure"). Only ``concat_prev_probs=True`` (whose
-re-runs truly differ) pays D passes (0.468 GFLOPs). Semantics are unchanged —
-this is the functional/XLA formulation of the exact same math.
+**Compiler-level sharing (measured):** because FiLM conditions *after* the
+backbone, every re-run sees identical inputs and weights, so XLA can CSE the
+D passes. On CPU lowering the merge is total — compiled hierarchical FLOPs
+equal the flat model's (0.230 vs 0.229 GFLOPs on a test config). On the TPU
+pipeline the measured hier/flat step-time ratio at 620px is 1.56x — partial
+sharing, still better than the eager reference's full D-pass recompute
+(SURVEY §3.2 "cost structure"). ``concat_prev_probs=True`` (whose re-runs
+truly differ) always pays D passes. Semantics are unchanged — this is the
+functional/XLA formulation of the exact same math.
 
 Config extension (SURVEY.md "critical reading note"): the README abstract
 describes concatenating previous-level logits to the input image; the
