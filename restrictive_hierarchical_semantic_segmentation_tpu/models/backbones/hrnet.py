@@ -220,6 +220,10 @@ class HRNetBackbone(nn.Module):
 
     config: HRNetConfig
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each HighResolutionModule in backward (bandwidth->FLOPs);
+    # finer-grained than whole-backbone remat, which this environment's
+    # remote TPU compiler cannot digest at 620px
+    remat: bool = False
 
     feature_stride: int = 4  # features at 1/4 input resolution
 
@@ -254,9 +258,15 @@ class HRNetBackbone(nn.Module):
                             self.dtype, name=f"transition{si - 1}")(xs, train)
             for m in range(stage.num_modules):
                 # reference models.py:665-680: all modules multi-scale here
-                xs = HighResolutionModule(
+                mod = HighResolutionModule(
                     stage, tuple(cur_channels), ac, True, self.dtype,
-                    name=f"stage{si}_m{m}")(xs, train)
+                    name=f"stage{si}_m{m}")
+                if self.remat:
+                    xs = nn.remat(
+                        lambda mm, inputs: mm(inputs, train)
+                    )(mod, xs)
+                else:
+                    xs = mod(xs, train)
             prev_channels = cur_channels
 
         # fuse to highest resolution + concat (models.py:742-748)

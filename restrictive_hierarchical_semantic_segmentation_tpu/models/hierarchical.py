@@ -168,6 +168,7 @@ def build_model(
     from .backbones.hrnet import HRNetBackbone
     from .backbones.unet import UNetBackbone
 
+    seg_remat = remat
     if model_select == 0:
         backbone = UNetBackbone(dtype=dtype)
         final_k, ac = 1, True
@@ -175,7 +176,10 @@ def build_model(
         from ..config.hrnet import hrnet_w48
 
         cfg = hrnet_config or hrnet_w48()
-        backbone = HRNetBackbone(config=cfg, dtype=dtype)
+        # HRNet remats per HighResolutionModule (whole-backbone remat regions
+        # overwhelm this environment's remote TPU compiler at 620px)
+        backbone = HRNetBackbone(config=cfg, dtype=dtype, remat=remat)
+        seg_remat = False
         final_k, ac = cfg.final_conv_kernel, cfg.align_corners
     return HierarchicalSegmenter(
         tree=tree,
@@ -184,6 +188,6 @@ def build_model(
         final_conv_kernel=final_k,
         align_corners=ac,
         concat_prev_probs=concat_prev_probs,
-        remat=remat,
+        remat=seg_remat,
         dtype=dtype,
     )
