@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--flat", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize backbone re-runs (bandwidth for FLOPs)")
+    ap.add_argument("--pallas-bn", action="store_true",
+                    help="fused Pallas BN+act kernels in the backbone")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,7 @@ def main():
         model_type=0 if args.flat else 1,
         dtype=dtype,
         remat=args.remat,
+        use_pallas_bn=args.pallas_bn,
     )
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on the data axis

@@ -27,8 +27,20 @@ __all__ = ["HRNetBackbone"]
 _BN = dict(momentum=0.9, epsilon=1e-5)  # torch BN_MOMENTUM=0.1 (models.py:318)
 
 
-def _bn(dtype, train, name):
-    return nn.BatchNorm(use_running_average=not train, dtype=dtype, name=name, **_BN)
+def _bn_act(x, dtype, train, name, act="none", pallas=False):
+    """BatchNorm followed by an optional fused activation.
+
+    pallas=False: XLA flax BN (global-batch stats under SPMD == SyncBN) +
+    separate relu. pallas=True: the fused Pallas kernel path
+    (models/pallas_bn.py) with identical variable layout."""
+    if pallas:
+        from ..pallas_bn import PallasBatchNormAct
+
+        return PallasBatchNormAct(use_running_average=not train, act=act,
+                                  dtype=dtype, name=name)(x)
+    x = nn.BatchNorm(use_running_average=not train, dtype=dtype, name=name,
+                     **_BN)(x)
+    return nn.relu(x) if act == "relu" else x
 
 
 class BasicBlock(nn.Module):
@@ -38,22 +50,23 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.planes, (3, 3), (self.stride,) * 2, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = _bn(self.dtype, train, "bn1")(y)
-        y = nn.relu(y)
+        y = _bn_act(y, self.dtype, train, "bn1", "relu", self.pallas_bn)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = _bn(self.dtype, train, "bn2")(y)
+        y = _bn_act(y, self.dtype, train, "bn2", "none", self.pallas_bn)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1), (self.stride,) * 2,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = _bn(self.dtype, train, "downsample_bn")(residual)
+            residual = _bn_act(residual, self.dtype, train, "downsample_bn",
+                               "none", self.pallas_bn)
         return nn.relu(y + residual)
 
 
@@ -64,26 +77,26 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = _bn(self.dtype, train, "bn1")(y)
-        y = nn.relu(y)
+        y = _bn_act(y, self.dtype, train, "bn1", "relu", self.pallas_bn)
         y = nn.Conv(self.planes, (3, 3), (self.stride,) * 2, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = _bn(self.dtype, train, "bn2")(y)
-        y = nn.relu(y)
+        y = _bn_act(y, self.dtype, train, "bn2", "relu", self.pallas_bn)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = _bn(self.dtype, train, "bn3")(y)
+        y = _bn_act(y, self.dtype, train, "bn3", "none", self.pallas_bn)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1), (self.stride,) * 2,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = _bn(self.dtype, train, "downsample_bn")(residual)
+            residual = _bn_act(residual, self.dtype, train, "downsample_bn",
+                               "none", self.pallas_bn)
         return nn.relu(y + residual)
 
 
@@ -97,6 +110,7 @@ class Branch(nn.Module):
     num_blocks: int
     planes: int
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -104,7 +118,8 @@ class Branch(nn.Module):
         out_ch = self.planes * expansion
         for i in range(self.num_blocks):
             ds = i == 0 and x.shape[-1] != out_ch
-            x = cls(self.planes, 1, ds, self.dtype, name=f"block{i}")(x, train)
+            x = cls(self.planes, 1, ds, self.dtype,
+                    pallas_bn=self.pallas_bn, name=f"block{i}")(x, train)
         return x
 
 
@@ -121,6 +136,7 @@ class FuseLayer(nn.Module):
     through_ch: int
     align_corners: bool
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, target_hw, train: bool):
@@ -128,16 +144,15 @@ class FuseLayer(nn.Module):
         if j > i:
             x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv")(x)
-            x = _bn(self.dtype, train, "bn")(x)
+            x = _bn_act(x, self.dtype, train, "bn", "none", self.pallas_bn)
             return resize_bilinear(x, tuple(target_hw), self.align_corners)
         for k in range(i - j):
             last = k == i - j - 1
             ch = self.out_ch if last else self.through_ch
             x = nn.Conv(ch, (3, 3), (2, 2), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"conv{k}")(x)
-            x = _bn(self.dtype, train, f"bn{k}")(x)
-            if not last:
-                x = nn.relu(x)
+            x = _bn_act(x, self.dtype, train, f"bn{k}",
+                        "none" if last else "relu", self.pallas_bn)
         return x
 
 
@@ -149,6 +164,7 @@ class HighResolutionModule(nn.Module):
     align_corners: bool
     multi_scale_output: bool = True
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool) -> List[jnp.ndarray]:
@@ -156,10 +172,12 @@ class HighResolutionModule(nn.Module):
         if nb == 1:
             return [Branch(self.stage.block, self.stage.num_blocks[0],
                            self.stage.num_channels[0], self.dtype,
+                           pallas_bn=self.pallas_bn,
                            name="branch0")(xs[0], train)]
         xs = [
             Branch(self.stage.block, self.stage.num_blocks[i],
                    self.stage.num_channels[i], self.dtype,
+                   pallas_bn=self.pallas_bn,
                    name=f"branch{i}")(xs[i], train)
             for i in range(nb)
         ]
@@ -174,6 +192,7 @@ class HighResolutionModule(nn.Module):
                 else:
                     t = FuseLayer(i, j, self.channels[i], self.channels[j],
                                   self.align_corners, self.dtype,
+                                  pallas_bn=self.pallas_bn,
                                   name=f"fuse{i}_{j}")(xs[j], hw, train)
                 y = t if y is None else y + t
             outs.append(nn.relu(y))
@@ -187,6 +206,7 @@ class Transition(nn.Module):
     prev_channels: Sequence[int]
     cur_channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool) -> List[jnp.ndarray]:
@@ -197,8 +217,9 @@ class Transition(nn.Module):
                 if self.prev_channels[i] != ch:
                     y = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                                 dtype=self.dtype, name=f"t{i}_conv")(xs[i])
-                    y = _bn(self.dtype, train, f"t{i}_bn")(y)
-                    outs.append(nn.relu(y))
+                    y = _bn_act(y, self.dtype, train, f"t{i}_bn", "relu",
+                                self.pallas_bn)
+                    outs.append(y)
                 else:
                     outs.append(xs[i])
             else:
@@ -208,8 +229,8 @@ class Transition(nn.Module):
                     y = nn.Conv(out_ch, (3, 3), (2, 2), padding=1,
                                 use_bias=False, dtype=self.dtype,
                                 name=f"t{i}_conv{j}")(y)
-                    y = _bn(self.dtype, train, f"t{i}_bn{j}")(y)
-                    y = nn.relu(y)
+                    y = _bn_act(y, self.dtype, train, f"t{i}_bn{j}", "relu",
+                                self.pallas_bn)
                 outs.append(y)
         return outs
 
@@ -224,6 +245,9 @@ class HRNetBackbone(nn.Module):
     # finer-grained than whole-backbone remat, which this environment's
     # remote TPU compiler cannot digest at 620px
     remat: bool = False
+    # fused Pallas BN+act kernels instead of XLA flax BN (per-replica stats;
+    # see models/pallas_bn.py scope note)
+    use_pallas_bn: bool = False
 
     feature_stride: int = 4  # features at 1/4 input resolution
 
@@ -240,14 +264,14 @@ class HRNetBackbone(nn.Module):
         for i in range(2):
             x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"stem_conv{i}")(x)
-            x = _bn(self.dtype, train, f"stem_bn{i}")(x)
-            x = nn.relu(x)
+            x = _bn_act(x, self.dtype, train, f"stem_bn{i}", "relu",
+                        self.use_pallas_bn)
 
         # stage 1: Bottleneck layer1 (models.py:587-588, 652-663)
         s1 = cfg.stage1
         _, exp1 = _BLOCKS[s1.block]
         x = Branch(s1.block, s1.num_blocks[0], s1.num_channels[0], self.dtype,
-                   name="layer1")(x, train)
+                   pallas_bn=self.use_pallas_bn, name="layer1")(x, train)
         prev_channels = [s1.num_channels[0] * exp1]
 
         xs = [x]
@@ -255,11 +279,13 @@ class HRNetBackbone(nn.Module):
             _, exp = _BLOCKS[stage.block]
             cur_channels = [c * exp for c in stage.num_channels]
             xs = Transition(tuple(prev_channels), tuple(cur_channels),
-                            self.dtype, name=f"transition{si - 1}")(xs, train)
+                            self.dtype, pallas_bn=self.use_pallas_bn,
+                            name=f"transition{si - 1}")(xs, train)
             for m in range(stage.num_modules):
                 # reference models.py:665-680: all modules multi-scale here
                 mod = HighResolutionModule(
                     stage, tuple(cur_channels), ac, True, self.dtype,
+                    pallas_bn=self.use_pallas_bn,
                     name=f"stage{si}_m{m}")
                 if self.remat:
                     xs = nn.remat(
@@ -277,5 +303,5 @@ class HRNetBackbone(nn.Module):
         # shared head: 1x1 conv + BN + ReLU (models.py:613-617)
         x = nn.Conv(cfg.last_channels, (1, 1), use_bias=True, dtype=self.dtype,
                     name="shared_head_conv")(x)
-        x = _bn(self.dtype, train, "shared_head_bn")(x)
-        return nn.relu(x)
+        return _bn_act(x, self.dtype, train, "shared_head_bn", "relu",
+                       self.use_pallas_bn)

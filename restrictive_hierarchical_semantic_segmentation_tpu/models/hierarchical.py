@@ -162,6 +162,7 @@ def build_model(
     dtype=jnp.float32,
     concat_prev_probs: bool = False,
     remat: bool = False,
+    use_pallas_bn: bool = False,
 ) -> HierarchicalSegmenter:
     """Factory matching the reference CLI conventions (train.py:456-462):
     ``model_select`` 0 = UNet, 1 = HRNet; ``model_type`` 0 = flat, 1 = hier."""
@@ -178,7 +179,8 @@ def build_model(
         cfg = hrnet_config or hrnet_w48()
         # HRNet remats per HighResolutionModule (whole-backbone remat regions
         # overwhelm this environment's remote TPU compiler at 620px)
-        backbone = HRNetBackbone(config=cfg, dtype=dtype, remat=remat)
+        backbone = HRNetBackbone(config=cfg, dtype=dtype, remat=remat,
+                                 use_pallas_bn=use_pallas_bn)
         seg_remat = False
         final_k, ac = cfg.final_conv_kernel, cfg.align_corners
     return HierarchicalSegmenter(

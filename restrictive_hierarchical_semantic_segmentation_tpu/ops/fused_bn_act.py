@@ -137,9 +137,10 @@ def fused_scale_bias_act(
 
 
 # ----------------------------------------------------- train-mode custom VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_bn_act(x, mean, var, gamma, beta, eps=1e-5):
-    """Training-mode fused ``relu(gamma * (x-mean)/sqrt(var+eps) + beta)``.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_bn_act(x, mean, var, gamma, beta, eps=1e-5, act="relu"):
+    """Training-mode fused ``act(gamma * (x-mean)/sqrt(var+eps) + beta)``
+    (``act``: "relu" | "none").
 
     Forward runs the Pallas fused pass; backward uses the InPlace-ABN
     reduction identities (functions.py:210-230):
@@ -149,20 +150,23 @@ def fused_bn_act(x, mean, var, gamma, beta, eps=1e-5):
     """
     rstd = jax.lax.rsqrt(var + eps)
     return fused_scale_bias_act(
-        x, gamma * rstd, beta - mean * gamma * rstd, "relu"
+        x, gamma * rstd, beta - mean * gamma * rstd, act
     )
 
 
-def _fba_fwd(x, mean, var, gamma, beta, eps):
-    y = fused_bn_act(x, mean, var, gamma, beta, eps)
+def _fba_fwd(x, mean, var, gamma, beta, eps, act):
+    y = fused_bn_act(x, mean, var, gamma, beta, eps, act)
     return y, (x, mean, var, gamma, beta, y)
 
 
-def _bwd_kernel(y_ref, g_ref, xhat_ref, dy_ref, edz_ref, eydz_ref):
+def _bwd_kernel(y_ref, g_ref, xhat_ref, dy_ref, edz_ref, eydz_ref, *, act):
     i = pl.program_id(0)
     y = y_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)
-    dy = jnp.where(y > 0, g, 0.0)  # relu backward fused in
+    if act == "relu":
+        dy = jnp.where(y > 0, g, 0.0)  # relu backward fused in
+    else:
+        dy = g
     xhat = xhat_ref[...].astype(jnp.float32)
     dy_ref[...] = dy.astype(dy_ref.dtype)
 
@@ -175,7 +179,7 @@ def _bwd_kernel(y_ref, g_ref, xhat_ref, dy_ref, edz_ref, eydz_ref):
     eydz_ref[...] += jnp.sum(dy * xhat, axis=0)
 
 
-def _fba_bwd(eps, res, g):
+def _fba_bwd(eps, act, res, g):
     x, mean, var, gamma, beta, y = res
     c = x.shape[-1]
     n = x.size // c
@@ -193,7 +197,7 @@ def _fba_bwd(eps, res, g):
         flat_g = jnp.pad(flat_g, ((0, pad), (0, 0)))
         flat_xhat = jnp.pad(flat_xhat, ((0, pad), (0, 0)))
     dy, edz, eydz = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, act=act),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -228,7 +232,8 @@ fused_bn_act.defvjp(_fba_fwd, _fba_bwd)
 
 
 def batch_norm_act(x: jax.Array, gamma: jax.Array, beta: jax.Array,
-                   eps: float = 1e-5) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                   eps: float = 1e-5,
+                   act: str = "relu") -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Train-mode fused BN+ReLU from raw activations: one-pass Pallas stats +
     fused normalize/affine/act, returning (y, mean, var) so callers can update
     running statistics. Gradients through the batch statistics are folded into
@@ -238,4 +243,4 @@ def batch_norm_act(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     # (pallas kernels are not JVP-transformable; the stats' contribution to
     # dx is already in fused_bn_act's custom VJP)
     mean, var = bn_stats(jax.lax.stop_gradient(x))
-    return fused_bn_act(x, mean, var, gamma, beta, eps), mean, var
+    return fused_bn_act(x, mean, var, gamma, beta, eps, act), mean, var
