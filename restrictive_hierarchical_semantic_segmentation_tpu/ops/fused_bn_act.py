@@ -39,6 +39,14 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+
+def _vmem_tile(n: int, c: int, requested: int) -> int:
+    """Rows per tile bounded so all in/out/double-buffered blocks fit VMEM
+    (~16MB/core): ~8 f32 blocks of (tile, c) -> tile <= 2^18 / c rows."""
+    cap = max(128, (1 << 18) // max(c, 1))
+    return int(min(requested, n, cap))
+
+
 # --------------------------------------------------------------------- stats
 def _stats_kernel(x_ref, sum_ref, sq_ref):
     i = pl.program_id(0)
@@ -62,7 +70,7 @@ def bn_stats(x: jax.Array, rows_per_tile: int = 1024) -> Tuple[jax.Array, jax.Ar
     c = x.shape[-1]
     flat = x.reshape(-1, c)
     n = flat.shape[0]
-    tile = min(rows_per_tile, n)
+    tile = _vmem_tile(n, c, rows_per_tile)
     grid = pl.cdiv(n, tile)
     pad = grid * tile - n
     if pad:
@@ -112,7 +120,7 @@ def fused_scale_bias_act(
     orig_shape = x.shape
     flat = x.reshape(-1, c)
     n = flat.shape[0]
-    tile = min(rows_per_tile, n)
+    tile = _vmem_tile(n, c, rows_per_tile)
     grid = pl.cdiv(n, tile)
     pad = grid * tile - n
     if pad:
@@ -189,7 +197,7 @@ def _fba_bwd(eps, act, res, g):
     flat_y = y.reshape(-1, c)
     flat_g = g.reshape(-1, c)
     flat_xhat = xhat.reshape(-1, c)
-    tile = min(1024, n)
+    tile = _vmem_tile(n, c, 1024)
     grid = pl.cdiv(n, tile)
     pad = grid * tile - n
     if pad:
