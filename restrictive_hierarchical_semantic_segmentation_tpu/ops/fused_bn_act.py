@@ -43,7 +43,7 @@ def _interpret() -> bool:
 def _vmem_tile(n: int, c: int, requested: int) -> int:
     """Rows per tile bounded so all in/out/double-buffered blocks fit VMEM
     (~16MB/core): ~8 f32 blocks of (tile, c) -> tile <= 2^18 / c rows."""
-    cap = max(128, (1 << 18) // max(c, 1))
+    cap = max(128, ((1 << 18) // max(c, 1)) // 8 * 8)  # sublane multiple of 8
     return int(min(requested, n, cap))
 
 
