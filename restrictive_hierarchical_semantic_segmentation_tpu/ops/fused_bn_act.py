@@ -164,18 +164,23 @@ def fused_bn_act(x, mean, var, gamma, beta, eps=1e-5, act="relu"):
 
 def _fba_fwd(x, mean, var, gamma, beta, eps, act):
     y = fused_bn_act(x, mean, var, gamma, beta, eps, act)
-    return y, (x, mean, var, gamma, beta, y)
+    # save ONLY x (+ per-channel scalars): y/xhat are recomputed in the
+    # backward kernel — keeping y as a residual doubled activation memory
+    # per BN and OOM'd HBM at batch 16 / 620px
+    return y, (x, mean, var, gamma, beta)
 
 
-def _bwd_kernel(y_ref, g_ref, xhat_ref, dy_ref, edz_ref, eydz_ref, *, act):
+def _bwd_kernel(x_ref, g_ref, scale_ref, shift_ref, mean_ref, rstd_ref,
+                dy_ref, edz_ref, eydz_ref, *, act):
     i = pl.program_id(0)
-    y = y_ref[...].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)
     if act == "relu":
-        dy = jnp.where(y > 0, g, 0.0)  # relu backward fused in
+        z = x * scale_ref[...] + shift_ref[...]  # recompute pre-act output
+        dy = jnp.where(z > 0, g, 0.0)
     else:
         dy = g
-    xhat = xhat_ref[...].astype(jnp.float32)
+    xhat = (x - mean_ref[...]) * rstd_ref[...]
     dy_ref[...] = dy.astype(dy_ref.dtype)
 
     @pl.when(i == 0)
@@ -188,29 +193,31 @@ def _bwd_kernel(y_ref, g_ref, xhat_ref, dy_ref, edz_ref, eydz_ref, *, act):
 
 
 def _fba_bwd(eps, act, res, g):
-    x, mean, var, gamma, beta, y = res
+    x, mean, var, gamma, beta = res
     c = x.shape[-1]
     n = x.size // c
     rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x.astype(jnp.float32) - mean) * rstd
+    scale = (gamma * rstd).astype(jnp.float32)
+    shift = (beta - mean * gamma * rstd).astype(jnp.float32)
 
-    flat_y = y.reshape(-1, c)
+    flat_x = x.reshape(-1, c)
     flat_g = g.reshape(-1, c)
-    flat_xhat = xhat.reshape(-1, c)
     tile = _vmem_tile(n, c, 1024)
     grid = pl.cdiv(n, tile)
     pad = grid * tile - n
     if pad:
-        flat_y = jnp.pad(flat_y, ((0, pad), (0, 0)))
+        flat_x = jnp.pad(flat_x, ((0, pad), (0, 0)))
         flat_g = jnp.pad(flat_g, ((0, pad), (0, 0)))
-        flat_xhat = jnp.pad(flat_xhat, ((0, pad), (0, 0)))
     dy, edz, eydz = pl.pallas_call(
         functools.partial(_bwd_kernel, act=act),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -223,11 +230,14 @@ def _fba_bwd(eps, act, res, g):
             jax.ShapeDtypeStruct((c,), jnp.float32),
         ),
         interpret=_interpret(),
-    )(flat_y, flat_g, flat_xhat)
+    )(flat_x, flat_g, scale, shift,
+      mean.astype(jnp.float32), rstd.astype(jnp.float32))
     if pad:
         dy = dy[:n]
     dy = dy.reshape(x.shape)
-    # train-mode dx (mean/var are functions of x):
+    # train-mode dx (mean/var are functions of x); xhat recomputed — XLA
+    # fuses this elementwise chain with the kernel output
+    xhat = (x.astype(jnp.float32) - mean) * rstd
     dx = (gamma * rstd) * (
         dy - (xhat * eydz + edz) / n
     )
