@@ -233,16 +233,21 @@ class Trainer:
     def evaluate(self, epoch: int, dump_images: bool = False):
         acc = MetricAccumulator(self.num_classes_per_level)
         losses, level_losses = [], np.zeros((self.n_levels,))
+        device_res = []
         first = True
         for x, y in prefetch_to_device(self.val_loader, 2,
                                        self.eval_batch_shard):
             res = self.eval_step(self.state.params, self.state.batch_stats, x, y)
-            losses.append(float(res["loss"]))
-            level_losses += np.asarray(res["per_level"])
-            acc.update([np.asarray(c) for c in res["confmats"]])
             if dump_images and first and "outputs" in res:
                 self._dump_images(res["outputs"], epoch)
                 first = False
+            res.pop("outputs", None)  # don't haul full-res maps per batch
+            device_res.append(res)
+        # one host transfer after the last dispatch (see train_epoch note)
+        for res in jax.device_get(device_res):
+            losses.append(float(res["loss"]))
+            level_losses += np.asarray(res["per_level"])
+            acc.update([np.asarray(c) for c in res["confmats"]])
         mean, std = acc.selection_metric()
         denom = max(1, len(self.val_loader) * self.cfg.val_batch)
         return {
