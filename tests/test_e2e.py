@@ -184,3 +184,31 @@ def test_agreement_cli(tmp_path):
     rep = run_agreement(str(pred_dir), str(gt_dir), ["OFR200"], ap_only=True)
     vals = rep["OFR200"]["agreement"]["AP12"]
     np.testing.assert_allclose(vals[0], 0.75)
+
+
+def test_agreement_cli_main_argv(tmp_path):
+    """Full CLI entry with the reference's stringly flags (argv path)."""
+    import cv2
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.cli.agreement import (
+        main,
+    )
+
+    a = np.zeros((16, 16), np.uint8)
+    a[2:10, 2:10] = 255
+    b = np.zeros((16, 16), np.uint8)
+    b[2:10, 4:12] = 255
+    pred_dir = tmp_path / "p"
+    gt_dir = tmp_path / "g"
+    pred_dir.mkdir(), gt_dir.mkdir()
+    for series in ("Td", "Rd"):
+        for n in ("AP12A", "AP12P", "AP40A", "AP40P", "AP100A", "AP100P",
+                  "AP200A", "AP200P"):
+            cv2.imwrite(str(pred_dir / f"z1{series}-{n}.png"), a)
+        cv2.imwrite(str(gt_dir / f"z1{series}-OFR200.png"), b)
+    rep = main([
+        "--mask-root", str(pred_dir), "--ofr-gt-masks", str(gt_dir),
+        "--list-of-ofr", "['OFR200']", "--ap-only", "True",
+        "--conf-intervals", "True",
+    ])
+    assert "OFR200" in rep and "AP12" in rep["OFR200"]["agreement"]
