@@ -135,3 +135,71 @@ def test_hier_unet_forward_parity(ref_models, default_tree):
             rtol=2e-3, atol=2e-4,
             err_msg=f"probs level {L}",
         )
+
+
+def test_hier_unet_extended_tree_parity(ref_models, extended_tree):
+    """Depth-4 tree: multi-group gated softmax + 4-level composition vs the
+    reference's per-parent python loop, identical weights."""
+    import json
+
+    import jax
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.hierarchical import (
+        HierarchicalSegmenter,
+    )
+
+    tree_dict = json.load(
+        open(os.path.join(REF, "class_tree_tl_extended.json")))
+
+    fmodel = HierarchicalSegmenter(
+        tree=extended_tree, backbone=UNetBackbone(base_ch=64),
+        hierarchical=True,
+    )
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 36, 36, 3)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(3), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tmodel = ref_models.UNet(size=36, n_channels=3, hierarchy=tree_dict,
+                             model_type=1)
+    tmodel.eval()
+    bp, bs = params["backbone"], stats["backbone"]
+    _copy_double_conv(tmodel.inc0.conv, bp["inc"], bs["inc"])
+    for i in range(1, 5):
+        _copy_double_conv(
+            getattr(tmodel, f"down{i}").mpconv[1], bp[f"down{i}"]["conv"],
+            bs[f"down{i}"]["conv"])
+        _copy_double_conv(
+            getattr(tmodel, f"up{i}").conv, bp[f"up{i}"]["conv"],
+            bs[f"up{i}"]["conv"])
+    n_levels = extended_tree.num_levels
+    for L in range(n_levels):
+        k = np.asarray(params[f"head_l{L}"]["kernel"])
+        tmodel.heads[L].conv.weight.data = torch.from_numpy(
+            np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+        tmodel.heads[L].conv.bias.data = torch.from_numpy(
+            np.asarray(params[f"head_l{L}"]["bias"]).copy())
+    for L in range(1, n_levels):
+        w = np.asarray(params[f"film_l{L}"]["mlp"]["kernel"])
+        tmodel.films[L - 1].mlp[1].weight.data = torch.from_numpy(
+            np.ascontiguousarray(w.T))
+        tmodel.films[L - 1].mlp[1].bias.data = torch.from_numpy(
+            np.asarray(params[f"film_l{L}"]["mlp"]["bias"]).copy())
+
+    with torch.no_grad():
+        t_probs, t_logits = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), type=1,
+            hierarchy=tree_dict)
+    f_probs, f_logits, _ = fmodel.apply(variables, x, train=False)
+    assert len(t_probs) == n_levels == len(f_probs)
+    for L in range(n_levels):
+        np.testing.assert_allclose(
+            np.asarray(f_logits[L]), t_logits[L].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=3e-4, err_msg=f"logits level {L}")
+        np.testing.assert_allclose(
+            np.asarray(f_probs[L]), t_probs[L].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=3e-4, err_msg=f"probs level {L}")
