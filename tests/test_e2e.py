@@ -212,3 +212,52 @@ def test_agreement_cli_main_argv(tmp_path):
         "--conf-intervals", "True",
     ])
     assert "OFR200" in rep and "AP12" in rep["OFR200"]["agreement"]
+
+
+def test_trainer_donor_pth_load_path(tmp_path, synth_root, assets_dir,
+                                     monkeypatch):
+    """--model-weights <.pth> routes through the torch donor importer inside
+    the Trainer build (train.py:470-505 capability), end-to-end."""
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+
+    def small(tree, model_select, model_type, *args, **kwargs):
+        return H.HierarchicalSegmenter(
+            tree=tree, backbone=UNetBackbone(base_ch=8),
+            hierarchical=model_type == 1,
+        )
+
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.loop."
+        "build_model",
+        small,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.loop import (
+        Trainer,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.hierarchy.tree import (
+        ClassTree,
+    )
+
+    donor = {"inc.double_conv.0.weight": torch.full((8, 3, 3, 3), 0.25),
+             "inc.double_conv.0.bias": torch.full((8,), 0.5)}
+    pth = str(tmp_path / "donor.pth")
+    torch.save(donor, pth)
+
+    tree = ClassTree.from_json(str(assets_dir / "class_tree_tl.json"),
+                               str(assets_dir / "class_map.csv"))
+    cfg = _cfg(synth_root, str(tmp_path / "run"), assets_dir, epochs=1,
+               folds=1, model_weights=pth)
+    tr = Trainer(cfg, tree, os.path.join(synth_root, "fold_1", "train"),
+                 os.path.join(synth_root, "fold_1", "val"),
+                 str(tmp_path / "run"))
+    k = np.asarray(tr.state.params["backbone"]["inc"]["conv0"]["kernel"])
+    np.testing.assert_allclose(k, 0.25)
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params["backbone"]["inc"]["conv0"]["bias"]), 0.5)
