@@ -132,3 +132,17 @@ def test_split_ids_matches_reference_fractions():
     assert set(tr) | set(te) | set(va) == set(range(100))
     tr2, te2, va2 = split_ids(100, has_val=True, has_test=False, test_remove=True)
     assert te2 is None and va2 is None and len(tr2) == 100
+
+
+def test_batch_loader_drop_last_false_and_single_worker(tmp_path, default_tree):
+    write_synth_dataset(str(tmp_path), 3, size=80, seed=9)
+    import glob
+    imgs = sorted(glob.glob(str(tmp_path / "images" / "*")))
+    labs = sorted(glob.glob(str(tmp_path / "labels" / "*")))
+    ds = SegDataset(imgs, labs, default_tree, 32, True, augment=False)
+    dl = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                     num_workers=1)
+    batches = list(dl)
+    assert len(dl) == 2 and len(batches) == 2
+    assert batches[0][0].shape[0] == 2
+    assert batches[1][0].shape[0] == 1  # ragged final batch preserved
