@@ -152,3 +152,34 @@ def test_build_model_factory(default_tree):
     assert not m.hierarchical
     m2 = build_model(default_tree, model_select=1, model_type=1)
     assert m2.hierarchical and m2.backbone.feature_dim == 720
+
+
+def test_composition_property_all_parents(extended_tree):
+    """SURVEY §4 property: at every level, for every parent with children,
+    sum(P_children) == P_parent exactly (restrictive composition), and all
+    probabilities live in [0, 1]."""
+    m = HierarchicalSegmenter(
+        tree=extended_tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 16, 3))
+    vars_ = m.init(jax.random.PRNGKey(4), x, train=False)
+    probs, _, qs = m.apply(vars_, x, train=False)
+    t = extended_tree
+    for L in range(t.num_levels):
+        p = np.asarray(probs[L])
+        assert (p >= 0).all() and (p <= 1 + 1e-6).all(), f"level {L}"
+    for L in range(1, t.num_levels):
+        pidx = np.asarray(t.parent_index[L])
+        for p_i in t.parents_with_children[L].tolist():
+            members = [c for c in range(len(pidx)) if int(pidx[c]) == p_i]
+            child_sum = np.asarray(probs[L])[..., members].sum(-1)
+            np.testing.assert_allclose(
+                child_sum, np.asarray(probs[L - 1])[..., p_i],
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"level {L} parent {p_i}",
+            )
+        # Q sums to 1 within every group
+        q = np.asarray(qs[L])
+        for p_i in t.parents_with_children[L].tolist():
+            members = [c for c in range(len(pidx)) if int(pidx[c]) == p_i]
+            np.testing.assert_allclose(q[..., members].sum(-1), 1.0, rtol=1e-5)
