@@ -27,7 +27,8 @@ import cv2
 import numpy as np
 import scipy.stats
 
-__all__ = ["agreement_from_masks", "mean_confidence_interval", "run_agreement"]
+__all__ = ["agreement_from_masks", "mean_confidence_interval",
+           "run_agreement", "run_reproducibility"]
 
 
 def mean_confidence_interval(data, confidence: float = 0.95):
@@ -96,6 +97,55 @@ def _patient_of(path: str) -> str:
 def _modality_of(path: str) -> str:
     parts = os.path.basename(path).split(".")[0].split("-")
     return parts[1] if len(parts) > 1 else ""
+
+
+# Reproducibility slot layout (the reference's commented-out test/retest
+# block, AgreementModule.py:121-187: 16 per-patient prediction slots incl.
+# the OFR image the validity table excludes).
+_REPRO_MODALITIES: List[Tuple[str, List[int]]] = [
+    ("AP12", [0, 1]), ("AP40", [2, 3]), ("AP100", [4, 5]), ("AP200", [6, 7]),
+    ("ISO100", [8]), ("ISO200", [9]), ("ISO300", [10]), ("ISO400", [11]),
+    ("OFC", [12]), ("OFR", [13]), ("TSCAN100", [14, 15]),
+]
+
+
+def run_reproducibility(mask_root: str) -> Dict[str, float]:
+    """Test/retest reproducibility: agreement between each patient's "Td" and
+    "Rd" prediction series, per modality slot.
+
+    Implements the INTENT of the reference's fully-commented-out block
+    (AgreementModule.py:121-187 — dead code there, working here; opt-in via
+    ``--reproducibility`` so the default output matches the reference's).
+    Returns {modality: mean agreement} and prints the report.
+    """
+    pred_files = sorted(glob.glob(os.path.join(mask_root, "*")),
+                        key=str.casefold)
+    pred_test, pred_retest = _split_series(pred_files)
+    patients = sorted({_patient_of(f) for f in pred_test})
+    accum: Dict[str, List[float]] = {name: [] for name, _ in _REPRO_MODALITIES}
+    for pat in patients:
+        t = [f for f in pred_test if pat == _patient_of(f)]
+        r = [f for f in pred_retest if pat == _patient_of(f)]
+        if not t or not r:
+            continue
+        for name, slots in _REPRO_MODALITIES:
+            for s in slots:
+                if s >= len(t) or s >= len(r):
+                    continue
+                a = cv2.imread(t[s], cv2.IMREAD_GRAYSCALE)
+                b = cv2.imread(r[s], cv2.IMREAD_GRAYSCALE)
+                if a is None or b is None:
+                    continue
+                agr, _, _ = agreement_from_masks(a, b)
+                accum[name].append(agr)
+    print("################################# REPRODUCIBILITY "
+          "#################################")
+    report = {}
+    for name, _ in _REPRO_MODALITIES:
+        if accum[name]:
+            report[name] = float(np.mean(accum[name]))
+            print(f"{name}: ", report[name])
+    return report
 
 
 def run_agreement(mask_root: str, ofr_gt_masks: str, list_of_ofr: List[str],
@@ -179,11 +229,16 @@ def get_args(argv=None):
     p.add_argument("--list-of-ofr", type=str, required=True)
     p.add_argument("--ap-only", type=str, default="False")
     p.add_argument("--conf-intervals", type=str, default="False")
+    p.add_argument("--reproducibility", type=str, default="False",
+                   help="also print the test/retest reproducibility table "
+                        "(the reference's commented-out block, made real)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = get_args(argv)
+    if str(args.reproducibility).lower() == "true":
+        run_reproducibility(args.mask_root)
     return run_agreement(
         args.mask_root,
         args.ofr_gt_masks,

@@ -31,6 +31,10 @@ def get_args(argv=None):
     p.add_argument("--folds", type=int, default=0)
     p.add_argument("--config", type=str, default="")
     p.add_argument("--compute-dtype", type=str, default="float32")
+    p.add_argument("--val-batch", type=int, default=1,
+                   help="eval forward batch size; scores stay per-image so "
+                        "metrics are identical to the reference's batch=1 "
+                        "(reference caps at 1, predictEval.py:222)")
     return p.parse_args(argv)
 
 
@@ -48,6 +52,7 @@ def main(argv=None):
         hrnet_yaml=args.config or None,
         compute_dtype=args.compute_dtype,
         num_workers=8 if args.num_workers == -1 else args.num_workers,
+        val_batch=args.val_batch,
     )
     if _bool(args.inc_cross_val) and args.folds > 0:
         roots, weights = [], []

@@ -48,6 +48,10 @@ class RunConfig:
     # data
     loader: str = "threads"          # "threads" (BatchLoader) | "grain"
     num_workers: int = 8
+    # compact host formats: int8 ternary targets + single-channel grayscale
+    # images, decoded on device by the jitted steps (4x/3x smaller
+    # host->device transfers; bit-identical values)
+    host_compact: bool = True
     inc_cross_val: bool = True
     folds: int = 0
     fold: int = 0                    # >0: train ONLY this fold (fold-parallel)

@@ -101,7 +101,16 @@ class BatchLoader:
                 for i in chunk
             ]
             samples = list(self._pool.map(self._load_one, chunk, seeds))
-            xs = np.stack([s[0] for s in samples])
+            ims = [s[0] for s in samples]
+            if len({im.shape[-1] for im in ims}) > 1:
+                # mixed gray(1ch-compact)/RGB sources in one batch: broadcast
+                # the compact ones so the stack is rectangular
+                ims = [
+                    np.broadcast_to(im, im.shape[:-1] + (3,))
+                    if im.shape[-1] == 1 else im
+                    for im in ims
+                ]
+            xs = np.stack(ims)
             ys = np.stack([s[1] for s in samples])
             yield xs, ys
 

@@ -64,6 +64,11 @@ def _load():
         _U32P, ctypes.c_int, ctypes.c_int, _I32P, ctypes.c_int, ctypes.c_int,
         _F64P, _F32P,
     ]
+    lib.rhss_expand_bits_i8.restype = ctypes.c_int
+    lib.rhss_expand_bits_i8.argtypes = [
+        _U32P, ctypes.c_int, ctypes.c_int, _I32P, ctypes.c_int, ctypes.c_int,
+        _F64P, ctypes.POINTER(ctypes.c_int8),
+    ]
     _LIB = lib
     return _LIB
 
@@ -120,24 +125,30 @@ def mask_bits(mask: np.ndarray, tables: ChannelTables,
 
 def expand_bits(bits: np.ndarray, tables: ChannelTables,
                 hflip: bool = False,
-                affine_matrix: Optional[np.ndarray] = None
-                ) -> Optional[np.ndarray]:
+                affine_matrix: Optional[np.ndarray] = None,
+                dtype=np.float32) -> Optional[np.ndarray]:
+    """dtype=np.int8 emits ternary targets as int8 ({-1,0,1} are exact):
+    4x less host memory traffic and a 4x smaller host->device transfer; the
+    jitted steps upcast on device (train/steps.py)."""
     lib = _load()
     if lib is None:
         return None
     size = bits.shape[0]
-    out = np.empty((size, size, tables.n_channels), np.float32)
+    out = np.empty((size, size, tables.n_channels), dtype)
     aff = None
     if affine_matrix is not None:
         aff = np.ascontiguousarray(affine_matrix, np.float64).reshape(6)
-    rc = lib.rhss_expand_bits(
+    fn = lib.rhss_expand_bits_i8 if dtype == np.int8 else lib.rhss_expand_bits
+    ptr = (out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+           if dtype == np.int8 else out.ctypes.data_as(_F32P))
+    rc = fn(
         np.ascontiguousarray(bits).ctypes.data_as(_U32P), size,
         tables.n_channels,
         tables.parent.ctypes.data_as(_I32P),
         1 if tables.hierarchical else 0,
         1 if hflip else 0,
         aff.ctypes.data_as(_F64P) if aff is not None else None,
-        out.ctypes.data_as(_F32P),
+        ptr,
     )
     return out if rc == 0 else None
 
@@ -150,6 +161,7 @@ def make_target_native(
     affine_matrix: Optional[np.ndarray] = None,
     bits_cache: Optional[dict] = None,
     cache_key=None,
+    dtype=np.float32,
 ) -> Optional[np.ndarray]:
     """Full fused target build; returns None if the library is unavailable.
     With ``bits_cache``/``cache_key``, the augmentation-independent bitmask is
@@ -163,4 +175,4 @@ def make_target_native(
             return None
         if bits_cache is not None and cache_key is not None:
             bits_cache[cache_key] = bits
-    return expand_bits(bits, tables, hflip, affine_matrix)
+    return expand_bits(bits, tables, hflip, affine_matrix, dtype=dtype)

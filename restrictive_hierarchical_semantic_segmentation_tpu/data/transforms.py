@@ -46,9 +46,15 @@ def resize_bilinear_np(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 
 def gaussian_blur(img: np.ndarray, sigma: float, ksize: int = 25) -> np.ndarray:
-    """GaussianBlur((25,25), sigma) — dataloaders.py:53."""
-    return cv2.GaussianBlur(img, (ksize, ksize), sigmaX=sigma, sigmaY=sigma,
-                            borderType=cv2.BORDER_REFLECT101)
+    """GaussianBlur((25,25), sigma) — dataloaders.py:53.
+
+    (S, S, 1) arrays are squeezed to 2-D first: cv2 takes a ~10x slower
+    generic path for 3-D single-channel inputs."""
+    one = img.ndim == 3 and img.shape[2] == 1
+    src = img[..., 0] if one else img
+    out = cv2.GaussianBlur(src, (ksize, ksize), sigmaX=sigma, sigmaY=sigma,
+                           borderType=cv2.BORDER_REFLECT101)
+    return out[..., None] if one else out
 
 
 def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:
@@ -82,22 +88,32 @@ def color_jitter(
 
     Factors sampled U[max(0,1-x), 1+x] (hue: U[-h,h]); the four ops are applied
     in a random permutation, as torchvision does.
+
+    Grayscale fast path: for a single-channel image (the radiograph case —
+    the reference stacks gray->3ch *before* jitter, dataset.py:416-417),
+    saturation is ``blend(img, grayscale(img)==img) == img`` and hue rotation
+    of an R==G==B pixel is the identity (S==0), so both are exact no-ops;
+    grayscale(img) is the channel itself. Same math on 1/3 the bytes — the
+    RNG draw order is unchanged, so sequences are seed-for-seed identical
+    with the 3-channel path.
     """
     fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
     fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
     fh = rng.uniform(-hue, hue)
     order = rng.permutation(4)
+    gray = img.ndim == 2 or img.shape[-1] == 1
     for op in order:
         if op == 0:
             img = _blend(img, 0.0, fb)
         elif op == 1:
-            img = _blend(img, float(_grayscale(img).mean()), fc)
-        elif op == 2:
+            g = img if gray else _grayscale(img)
+            img = _blend(img, float(g.mean()), fc)
+        elif op == 2 and not gray:
             img = _blend(img, np.repeat(_grayscale(img), 3, axis=-1), fs)
-        else:
+        elif op == 3 and not gray:
             img = np.clip(_adjust_hue(img, fh), 0.0, 1.0)
-    return img.astype(np.float32)
+    return img.astype(np.float32, copy=False)
 
 
 def normalize(img: np.ndarray, mean: float = 0.5, std: float = 0.5) -> np.ndarray:
@@ -162,9 +178,11 @@ def affine_nearest(
     ``TF.affine`` default) and a constant fill — dataset.py:443-451."""
     h, w = img.shape[:2]
     m = _torchvision_affine_matrix(params, h, w)
-    border = (float(fill),) * (img.shape[2] if img.ndim == 3 else 1)
+    one = img.ndim == 3 and img.shape[2] == 1
+    src = img[..., 0] if one else img
+    border = (float(fill),) * (src.shape[2] if src.ndim == 3 else 1)
     out = cv2.warpAffine(
-        img, m, (w, h), flags=cv2.INTER_NEAREST,
+        np.ascontiguousarray(src), m, (w, h), flags=cv2.INTER_NEAREST,
         borderMode=cv2.BORDER_CONSTANT, borderValue=border,
     )
     if img.ndim == 3 and out.ndim == 2:

@@ -137,15 +137,36 @@ def consistency_loss(
 ) -> jax.Array:
     """L1 parent ~= sum(children), averaged over all (level, parent) pairs
     (losses.py:150-177)."""
+    from ..ops.restrictive import GROUP_UNROLL_LIMIT
+
     total = 0.0
     count = 0
     for L in range(1, tree.num_levels):
         p_prev = probs_per_level[L - 1].astype(jnp.float32)
         p_cur = probs_per_level[L].astype(jnp.float32)
         pidx = np.asarray(tree.parent_index[L])
+        parents = tree.parents_with_children[L].tolist()
+        if len(parents) > GROUP_UNROLL_LIMIT:
+            # wide-tree path: ONE one-hot contraction for all parents' child
+            # sums (MXU matmul — a contraction, so no (..., C_child, C_parent)
+            # broadcast materializes), then a mean per parent channel
+            a = jnp.asarray(
+                np.asarray(tree.child_to_parent[L]), jnp.float32
+            )
+            child_sum = jnp.einsum("...c,cp->...p", p_cur, a,
+                                   precision=jax.lax.Precision.HIGHEST)
+            sel = np.asarray(parents, np.int64)
+            diff = jnp.abs(child_sum[..., sel] - p_prev[..., sel])
+            # mean over (batch, spatial) per parent == the reference's
+            # per-parent .mean(); parents all share the same extent
+            total = total + jnp.sum(jnp.mean(
+                diff, axis=tuple(range(diff.ndim - 1))
+            ))
+            count += len(parents)
+            continue
         # static per-parent member lists: slice+sum, never a
         # (..., C_child, C_parent) broadcast (HBM blowup at full res)
-        for p_idx in tree.parents_with_children[L].tolist():
+        for p_idx in parents:
             members = [c for c in range(len(pidx)) if int(pidx[c]) == p_idx]
             child_sum = jnp.sum(p_cur[..., members], axis=-1)
             diff = jnp.abs(child_sum - p_prev[..., p_idx])

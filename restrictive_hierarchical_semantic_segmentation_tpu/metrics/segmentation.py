@@ -69,39 +69,50 @@ def classmaps_from_outputs(
 def level_confusion_matrices(
     outputs_per_level: Sequence[jax.Array],
     targets_per_level: Sequence[jax.Array],
+    per_image: bool = False,
 ) -> List[jax.Array]:
     """Per-level (C', C') int32 confusion matrices (target-row, pred-col).
 
     Child levels ignore target==background (index 0) pixels; their matrices
     include the background row/col (dropped at metric time). jit-able.
+
+    ``per_image=True`` returns (B, C', C') matrices instead — one per batch
+    element. The reference's epoch metrics are means of *per-batch* metrics
+    (train.py:66-70) and predictEval runs batch=1, so a batched offline eval
+    must score each image separately to reproduce its numbers exactly.
     """
     mats = []
     for pred, targ, c, child in classmaps_from_outputs(
         outputs_per_level, targets_per_level
     ):
-        p = pred.reshape(-1)
-        t = targ.reshape(-1)
+        b = pred.shape[0]
+        p = pred.reshape(b, -1) if per_image else pred.reshape(1, -1)
+        t = targ.reshape(b, -1) if per_image else targ.reshape(1, -1)
         if child:
             valid = t != 0  # ignore_index=0 (performance_metrics.py:62)
         else:
             valid = jnp.ones_like(t, dtype=bool)
-        n = p.shape[0]
+        n = p.shape[-1]
         if n < (1 << 23):
             # MXU path: one-hot contraction. Exact in fp32 while every cell
             # count stays below 2^24; HIGHEST precision keeps fp32 on TPU.
             t_oh = jax.nn.one_hot(t, c, dtype=jnp.float32)
-            t_oh = t_oh * valid.astype(jnp.float32)[:, None]
+            t_oh = t_oh * valid.astype(jnp.float32)[..., None]
             p_oh = jax.nn.one_hot(p, c, dtype=jnp.float32)
             cm = jnp.einsum(
-                "nc,nd->cd", t_oh, p_oh,
+                "bnc,bnd->bcd", t_oh, p_oh,
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
         else:
             # scatter fallback for huge pixel counts
             idx = jnp.where(valid, t * c + p, c * c)
-            flat = jnp.zeros((c * c + 1,), jnp.int32).at[idx].add(1)
-            cm = flat[: c * c].reshape(c, c)
-        mats.append(cm)
+            offs = jnp.arange(idx.shape[0])[:, None] * (c * c + 1)
+            flat = jnp.zeros((idx.shape[0] * (c * c + 1),), jnp.int32)
+            flat = flat.at[(idx + offs).reshape(-1)].add(1)
+            cm = flat.reshape(idx.shape[0], c * c + 1)[:, : c * c].reshape(
+                idx.shape[0], c, c
+            )
+        mats.append(cm if per_image else cm[0])
     return mats
 
 

@@ -21,25 +21,23 @@ import jax.numpy as jnp
 
 from ...config.hrnet import HRNetConfig, HRNetStage
 from ...ops.resize import resize_bilinear
+from ..norm import LeanBatchNorm
 
 __all__ = ["HRNetBackbone"]
-
-_BN = dict(momentum=0.9, epsilon=1e-5)  # torch BN_MOMENTUM=0.1 (models.py:318)
 
 
 def _bn_act(x, dtype, train, name, act="none", pallas=False):
     """BatchNorm followed by an optional fused activation.
 
-    pallas=False: XLA flax BN (global-batch stats under SPMD == SyncBN) +
-    separate relu. pallas=True: the fused Pallas kernel path
-    (models/pallas_bn.py) with identical variable layout."""
+    pallas=False: LeanBatchNorm (global-batch stats under SPMD == SyncBN;
+    bf16-folded normalization — see models/norm.py) + relu. pallas=True: the
+    fused Pallas kernel path (models/pallas_bn.py), identical variable layout."""
     if pallas:
         from ..pallas_bn import PallasBatchNormAct
 
         return PallasBatchNormAct(use_running_average=not train, act=act,
                                   dtype=dtype, name=name)(x)
-    x = nn.BatchNorm(use_running_average=not train, dtype=dtype, name=name,
-                     **_BN)(x)
+    x = LeanBatchNorm(use_running_average=not train, dtype=dtype, name=name)(x)
     return nn.relu(x) if act == "relu" else x
 
 

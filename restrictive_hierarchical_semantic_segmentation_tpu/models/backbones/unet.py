@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.resize import upsample2x_align_corners
+from ..norm import LeanBatchNorm
 
 __all__ = ["UNetBackbone"]
 
@@ -34,10 +35,8 @@ class DoubleConv(nn.Module):
             x = nn.Conv(
                 self.out_ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}"
             )(x)
-            x = nn.BatchNorm(
+            x = LeanBatchNorm(
                 use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
                 dtype=self.dtype,
                 name=f"bn{i}",
             )(x)

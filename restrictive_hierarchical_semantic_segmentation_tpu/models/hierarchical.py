@@ -12,21 +12,34 @@ module:
   probabilistic composition ``P_c = P_p * Q_{c|p}``.
 
 The level loop is unrolled at trace time (depth <= 4 in practice): the
-backbone *parameters are shared* across re-runs (one Flax submodule invoked D
-times), exactly matching the reference's weight sharing, while each level owns
-its head and FiLM parameters. BatchNorm batch statistics are updated on every
-re-run, matching the reference's D-updates-per-step behavior (SURVEY.md §7
-hard-part 3).
+backbone *parameters are shared* across levels (one Flax submodule), exactly
+matching the reference's weight sharing, while each level owns its head and
+FiLM parameters.
 
-**Compiler-level sharing (measured):** because FiLM conditions *after* the
-backbone, every re-run sees identical inputs and weights, so XLA can CSE the
-D passes. On CPU lowering the merge is total — compiled hierarchical FLOPs
-equal the flat model's (0.230 vs 0.229 GFLOPs on a test config). On the TPU
-pipeline the measured hier/flat step-time ratio at 620px is 1.56x — partial
-sharing, still better than the eager reference's full D-pass recompute
-(SURVEY §3.2 "cost structure"). ``concat_prev_probs=True`` (whose re-runs
-truly differ) always pays D passes. Semantics are unchanged — this is the
-functional/XLA formulation of the exact same math.
+**Explicit backbone sharing (share_backbone=True, the default).** Because
+FiLM conditions *after* the backbone (reference models.py:277/:773-774:
+``dL = self._run_unet(x)`` on the *unchanged* input), every re-run of the
+backbone within one step sees identical inputs and identical weights, so the
+D passes are mathematically ONE pass:
+
+* train-mode forward: BatchNorm normalizes with *batch* statistics, which
+  depend only on (input, weights) — identical across re-runs, so features
+  (and therefore all level outputs) are bit-equal to the naive D-pass form;
+* gradients: each level's loss backprops into the same shared weights; by
+  linearity the sum over levels through one shared pass equals the sum over
+  D independent passes;
+* the ONLY observable difference is that the reference applies the BN
+  running-stat EMA D times per step (same batch value each time). The train
+  step preserves that exactly with a closed-form post-hoc correction
+  (``bn_updates_per_step`` in train/steps.py): D EMA updates with momentum m
+  and a fixed batch value equal one update with momentum ``m**D``.
+
+Round-1 relied on XLA CSE to merge the D passes; that merge was total on CPU
+but only partial on TPU (hier/flat step ratio 1.56x). Explicit sharing makes
+the hierarchical step cost ~= flat + D tiny heads/FiLMs by construction.
+``share_backbone=False`` restores the naive re-run form (used by the
+equivalence test); ``concat_prev_probs=True`` (whose re-runs truly differ)
+always pays D passes.
 
 Config extension (SURVEY.md "critical reading note"): the README abstract
 describes concatenating previous-level logits to the input image; the
@@ -72,7 +85,20 @@ class HierarchicalSegmenter(nn.Module):
     align_corners: bool = True       # for logit upsampling (HRNet path)
     concat_prev_probs: bool = False  # README-abstract variant (off = code parity)
     remat: bool = False              # jax.checkpoint each backbone re-run
+    share_backbone: bool = True      # one explicit pass for all levels (exact)
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def bn_updates_per_step(self) -> int:
+        """How many BN running-stat EMA updates per optimizer step the
+        *reference* performs vs how many this module's forward performs.
+
+        The reference re-runs the backbone once per level (D updates); with
+        ``share_backbone`` the forward performs one. The train step multiplies
+        the EMA by this factor (closed form) to keep running stats identical."""
+        if self.hierarchical and self.share_backbone and not self.concat_prev_probs:
+            return self.tree.num_levels
+        return 1
 
     def _run_backbone(self, x, train: bool):
         """One donor pass; with ``remat=True`` the D re-runs' activations are
@@ -132,17 +158,23 @@ class HierarchicalSegmenter(nn.Module):
         logits.append(z0)
         qs.append(None)
 
-        # Levels >= 1: recurrent backbone re-run + FiLM + restrictive head
-        # (models.py:275-305 / :772-798)
+        # Levels >= 1: recurrent level-wise prediction + FiLM + restrictive
+        # head (models.py:275-305 / :772-798). With share_backbone the D
+        # re-runs collapse to the single level-0 pass (see module docstring:
+        # exact — FiLM conditions after the backbone, inputs are unchanged).
+        share = self.share_backbone and not self.concat_prev_probs
         for L in range(1, t.num_levels):
-            feats = self._run_backbone(
-                self._backbone_input(x, probs[L - 1]), train
-            )
-            feats = FiLM(dtype=self.dtype, name=f"film_l{L}")(
-                feats, probs[L - 1].astype(self.dtype)
+            if share:
+                feats_l = feats
+            else:
+                feats_l = self._run_backbone(
+                    self._backbone_input(x, probs[L - 1]), train
+                )
+            feats_l = FiLM(dtype=self.dtype, name=f"film_l{L}")(
+                feats_l, probs[L - 1].astype(self.dtype)
             )
             zL = self._maybe_upsample(
-                self._head(feats, t.classes_per_level[L], f"head_l{L}"), hw
+                self._head(feats_l, t.classes_per_level[L], f"head_l{L}"), hw
             ).astype(jnp.float32)
             q, p_child = gated_grouped_softmax(
                 zL, probs[L - 1], t.parent_index[L], t.child_to_parent[L]
@@ -163,6 +195,7 @@ def build_model(
     concat_prev_probs: bool = False,
     remat: bool = False,
     use_pallas_bn: bool = False,
+    share_backbone: bool = True,
 ) -> HierarchicalSegmenter:
     """Factory matching the reference CLI conventions (train.py:456-462):
     ``model_select`` 0 = UNet, 1 = HRNet; ``model_type`` 0 = flat, 1 = hier."""
@@ -191,5 +224,6 @@ def build_model(
         align_corners=ac,
         concat_prev_probs=concat_prev_probs,
         remat=seg_remat,
+        share_backbone=share_backbone,
         dtype=dtype,
     )

@@ -55,6 +55,10 @@ class PallasBatchNormAct(nn.Module):
         y, mean, var = batch_norm_act(x, scale, bias, self.epsilon, self.act)
         if not self.is_initializing():
             m = self.momentum
+            n = 1
+            for ax in range(x.ndim - 1):
+                n *= x.shape[ax]
+            bessel = n / (n - 1) if n > 1 else 1.0  # torch unbiased running
             ra_mean.value = m * ra_mean.value + (1 - m) * mean
-            ra_var.value = m * ra_var.value + (1 - m) * var
+            ra_var.value = m * ra_var.value + (1 - m) * (var * bessel)
         return y.astype(self.dtype)

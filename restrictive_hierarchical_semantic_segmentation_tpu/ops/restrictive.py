@@ -34,6 +34,15 @@ __all__ = ["gated_grouped_softmax", "compose_children", "grouped_conditional_kl"
 
 _EPS = 1e-6  # reference eps, models.py:274/:761
 
+# Above this many parent groups the per-group unrolled reductions (trace time
+# and program size linear in the parent count) switch to the vectorized
+# segment formulation: segment_max over a channel-leading layout plus a
+# one-hot-matrix contraction for the group sums (an MXU matmul at HIGHEST
+# precision — a contraction, so no (..., C_child, C_parent) broadcast ever
+# materializes). Unrolling stays the default for the paper-scale trees
+# (fanout <= 4) where it fuses best.
+GROUP_UNROLL_LIMIT = 8
+
 
 def gated_grouped_softmax(
     z_children: jax.Array,
@@ -62,6 +71,21 @@ def gated_grouped_softmax(
 
     p_gathered = jnp.take(p_parent, pidx, axis=-1)  # (..., C_child)
     gated = z_children + jnp.log(p_gathered + _EPS)
+
+    if len(groups) > GROUP_UNROLL_LIMIT:
+        # vectorized segment path for wide trees (see GROUP_UNROLL_LIMIT)
+        n_parent = int(np.asarray(child_to_parent).shape[1])
+        a = jnp.asarray(np.asarray(child_to_parent), jnp.float32)
+        g2 = jnp.moveaxis(gated, -1, 0)  # (C_child, ...)
+        gmax = jax.ops.segment_max(g2, pidx, num_segments=n_parent,
+                                   indices_are_sorted=False)
+        group_max = jnp.moveaxis(gmax, 0, -1)  # (..., C_parent)
+        gated = gated - jnp.take(group_max, pidx, axis=-1)
+        e = jnp.exp(gated)
+        sums = jnp.einsum("...c,cp->...p", e, a,
+                          precision=jax.lax.Precision.HIGHEST)
+        q = e / jnp.take(sums, pidx, axis=-1)
+        return q, p_gathered * q
 
     # Per-group softmax via STATIC per-child sibling reductions. The groups
     # are tiny and known at trace time, so this unrolls into slices/maxima of

@@ -90,7 +90,7 @@ int rhss_mask_bits(const uint8_t* mask, int h, int w, int S,
   return 0;
 }
 
-// Stage 2: bitmask (S, S) -> augmented float32 target (S, S, C).
+// Stage 2: bitmask (S, S) -> augmented target (S, S, C).
 //   do_hflip: horizontal flip first (matches resize->hflip->affine order).
 //   affine:   forward 2x3 row-major matrix [a b tx; c d ty] or null;
 //             applied with nearest gathering (torchvision TF.affine default).
@@ -98,9 +98,87 @@ int rhss_mask_bits(const uint8_t* mask, int h, int w, int S,
 //   hier:     ternary restrictive encoding iff != 0 (dataset.py:227-265).
 // Fill semantics out-of-frame (dataset.py:446-451 + threshold): channel 0
 // gets its global max bit, others 0.
-int rhss_expand_bits(const uint32_t* bits, int S, int n_channels,
-                     const int32_t* parent_channel, int hier, int do_hflip,
-                     const double* affine, float* out) {
+//
+// Templated over the output element type: float32 (numpy-path parity) or
+// int8 (ternary values are exactly {-1, 0, 1} — 4x less host memory traffic
+// and a 4x smaller host->device transfer; the train step upcasts on device).
+}  // extern "C" (templates below need C++ linkage)
+
+namespace {
+
+template <typename T>
+void expand_bits_impl(const uint32_t* bits, int S, int n_channels,
+                      const int32_t* parent_channel, int hier, int do_hflip,
+                      const double* affine, uint32_t fill_bits,
+                      const double* inv, T* out) {
+  // Precompute the full bits-value -> output-row LUT (2^C rows of C values);
+  // expansion becomes gather + row copy (8 bytes/row for int8 at C == 8).
+  const bool use_lut = n_channels <= 12;
+  std::vector<T> lut;
+  if (use_lut) {
+    const size_t rows = (size_t)1 << n_channels;
+    lut.resize(rows * n_channels);
+    for (size_t b = 0; b < rows; ++b) {
+      T* o = &lut[b * n_channels];
+      for (int c = 0; c < n_channels; ++c) {
+        const int on = (int)((b >> c) & 1);
+        if (hier && parent_channel[c] >= 0) {
+          const int p = parent_channel[c];
+          o[c] = on ? T(1) : (((b >> p) & 1) ? T(0) : T(-1));
+        } else {
+          o[c] = T(on);
+        }
+      }
+    }
+  }
+
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < S; ++y) {
+    // incremental stepping: the inverse map is affine in x, so walk the row
+    // with two adds per pixel instead of four multiplies (double drift over
+    // S steps is ~1e-13 — far below the lround decision boundary)
+    double sxf = inv[1] * y + inv[2];
+    double syf = inv[4] * y + inv[5];
+    for (int x = 0; x < S; ++x, sxf += inv[0], syf += inv[3]) {
+      uint32_t b;
+      if (affine) {
+        const long xs = std::lround(sxf), ys = std::lround(syf);
+        if (xs >= 0 && xs < S && ys >= 0 && ys < S) {
+          const long xg = do_hflip ? (S - 1 - xs) : xs;
+          b = bits[ys * S + xg];
+        } else {
+          b = fill_bits;
+        }
+      } else {
+        const int xg = do_hflip ? (S - 1 - x) : x;
+        b = bits[y * S + xg];
+      }
+      T* o = &out[((size_t)y * S + x) * n_channels];
+      if (use_lut) {
+        std::memcpy(o, &lut[(size_t)b * n_channels], sizeof(T) * n_channels);
+        continue;
+      }
+      for (int c = 0; c < n_channels; ++c) {
+        const int on = (b >> c) & 1;
+        if (hier) {
+          const int p = parent_channel[c];
+          if (p < 0) {
+            o[c] = T(on);
+          } else {
+            o[c] = on ? T(1) : (((b >> p) & 1) ? T(0) : T(-1));
+          }
+        } else {
+          o[c] = T(on);
+        }
+      }
+    }
+  }
+}
+
+template <typename T>
+int expand_bits_entry(const uint32_t* bits, int S, int n_channels,
+                      const int32_t* parent_channel, int hier, int do_hflip,
+                      const double* affine, T* out) {
   // channel-0 fill bit = does channel 0 appear anywhere?
   uint32_t fill_bits = 0;
   if (affine) {
@@ -115,67 +193,27 @@ int rhss_expand_bits(const uint32_t* bits, int S, int n_channels,
     inv[0] = d / det;  inv[1] = -b / det; inv[2] = (b * ty - d * tx) / det;
     inv[3] = -c2 / det; inv[4] = a / det; inv[5] = (c2 * tx - a * ty) / det;
   }
-  // For small channel counts, precompute the full bits-value -> output-row
-  // LUT (2^C rows of C floats); expansion becomes gather + row copy.
-  const bool use_lut = n_channels <= 12;
-  std::vector<float> lut;
-  if (use_lut) {
-    const size_t rows = (size_t)1 << n_channels;
-    lut.resize(rows * n_channels);
-    for (size_t b = 0; b < rows; ++b) {
-      float* o = &lut[b * n_channels];
-      for (int c = 0; c < n_channels; ++c) {
-        const int on = (int)((b >> c) & 1);
-        if (hier && parent_channel[c] >= 0) {
-          const int p = parent_channel[c];
-          o[c] = on ? 1.0f : (((b >> p) & 1) ? 0.0f : -1.0f);
-        } else {
-          o[c] = (float)on;
-        }
-      }
-    }
-  }
-
-#pragma omp parallel for schedule(static)
-  for (int y = 0; y < S; ++y) {
-    for (int x = 0; x < S; ++x) {
-      uint32_t b;
-      if (affine) {
-        const double sxf = inv[0] * x + inv[1] * y + inv[2];
-        const double syf = inv[3] * x + inv[4] * y + inv[5];
-        const long xs = std::lround(sxf), ys = std::lround(syf);
-        if (xs >= 0 && xs < S && ys >= 0 && ys < S) {
-          const long xg = do_hflip ? (S - 1 - xs) : xs;
-          b = bits[ys * S + xg];
-        } else {
-          b = fill_bits;
-        }
-      } else {
-        const int xg = do_hflip ? (S - 1 - x) : x;
-        b = bits[y * S + xg];
-      }
-      float* o = &out[((size_t)y * S + x) * n_channels];
-      if (use_lut) {
-        std::memcpy(o, &lut[(size_t)b * n_channels],
-                    sizeof(float) * n_channels);
-        continue;
-      }
-      for (int c = 0; c < n_channels; ++c) {
-        const int on = (b >> c) & 1;
-        if (hier) {
-          const int p = parent_channel[c];
-          if (p < 0) {
-            o[c] = (float)on;
-          } else {
-            o[c] = on ? 1.0f : (((b >> p) & 1) ? 0.0f : -1.0f);
-          }
-        } else {
-          o[c] = (float)on;
-        }
-      }
-    }
-  }
+  expand_bits_impl<T>(bits, S, n_channels, parent_channel, hier, do_hflip,
+                      affine, fill_bits, inv, out);
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int rhss_expand_bits(const uint32_t* bits, int S, int n_channels,
+                     const int32_t* parent_channel, int hier, int do_hflip,
+                     const double* affine, float* out) {
+  return expand_bits_entry<float>(bits, S, n_channels, parent_channel, hier,
+                                  do_hflip, affine, out);
+}
+
+int rhss_expand_bits_i8(const uint32_t* bits, int S, int n_channels,
+                        const int32_t* parent_channel, int hier, int do_hflip,
+                        const double* affine, int8_t* out) {
+  return expand_bits_entry<int8_t>(bits, S, n_channels, parent_channel, hier,
+                                   do_hflip, affine, out);
 }
 
 // Convenience: both stages in one call (no caching).

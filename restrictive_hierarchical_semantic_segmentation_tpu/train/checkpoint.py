@@ -63,6 +63,14 @@ class CheckpointManager:
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
         self.prev_best: Optional[float] = None
+        # resume: a prior run's best.ckpt keeps gating best-saves so the
+        # resumed trajectory's decisions match an uninterrupted run's
+        meta_path = os.path.join(self.best_path, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prior = json.load(f)
+            if "test_measure_mean" in prior:
+                self.prev_best = float(prior["test_measure_mean"])
 
     @property
     def best_path(self) -> str:

@@ -94,13 +94,19 @@ class Trainer:
                 # still provides determinism/sharding/epoch handling. Flip to
                 # process workers on standard multi-core hosts if needed.
                 loader_kw = dict(num_workers=0)
+        ds_kw = dict(
+            target_dtype=np.int8 if cfg.host_compact else np.float32,
+            emit_gray=cfg.host_compact,
+        )
         self.train_loader = loader_cls(
-            SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier, augment=True),
+            SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier,
+                       augment=True, **ds_kw),
             cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
             **loader_kw,
         )
         self.val_loader = loader_cls(
-            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier, augment=False),
+            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
+                       augment=False, **ds_kw),
             cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
             **loader_kw,
         )
@@ -148,6 +154,7 @@ class Trainer:
                 self.state, meta = load_checkpoint(
                     cfg.model_weights, self.state
                 )
+                self._resume_meta = meta
                 print(f"Resumed from {cfg.model_weights}: {meta}")
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
@@ -177,6 +184,22 @@ class Trainer:
         ) if cfg.lrs else None
         self.ckpt = CheckpointManager(save_loc)
         self.n_levels = len(self.num_classes_per_level)
+
+        # --- exact resume (beats the reference's weights-only --model-weights
+        # restart, train.py:470-505): restore the epoch counter and the
+        # plateau scheduler from the checkpoint's meta sidecar so the LR
+        # trajectory and best-ckpt decisions continue as if uninterrupted
+        self.start_epoch = 1
+        meta = getattr(self, "_resume_meta", None)
+        if meta and "epoch" in meta:
+            self.start_epoch = int(meta["epoch"]) + 1
+            if self.scheduler is not None and "sched_lr" in meta:
+                best = meta.get("sched_best")
+                self.scheduler.load_state_dict({
+                    "lr": meta["sched_lr"],
+                    "best": None if best is None or best != best else best,
+                    "num_bad_epochs": int(meta.get("sched_num_bad_epochs", 0)),
+                })
 
     # ------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int):
@@ -280,8 +303,13 @@ class Trainer:
         cfg = self.cfg
         csv_path = os.path.join(self.save_loc, "metrics.csv")
         if os.path.exists(csv_path):
-            os.remove(csv_path)  # train.py:599-600
-        for epoch in range(1, cfg.epochs + 1):
+            if self.start_epoch > 1:
+                # resume: keep history up to the resumed epoch, drop any rows
+                # a crashed run wrote beyond the checkpoint
+                self._truncate_csv(csv_path, self.start_epoch)
+            else:
+                os.remove(csv_path)  # fresh run (train.py:599-600)
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
             if self.scheduler:
                 self.state = set_learning_rate(self.state, self.scheduler.lr)
             tr = self.train_epoch(epoch)
@@ -309,6 +337,14 @@ class Trainer:
                 va["measure_std"], **sched_meta,
             )
         return self.ckpt.prev_best
+
+    def _truncate_csv(self, path, start_epoch: int):
+        with open(path, newline="") as f:
+            rows = list(csv.reader(f))
+        kept = [r for i, r in enumerate(rows)
+                if i == 0 or (r and r[0].isdigit() and int(r[0]) < start_epoch)]
+        with open(path, "w", newline="") as f:
+            csv.writer(f).writerows(kept)
 
     def _append_csv(self, path, epoch, tr, va):
         new = not os.path.exists(path)

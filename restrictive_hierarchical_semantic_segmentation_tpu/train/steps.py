@@ -24,7 +24,33 @@ from ..losses.hierarchical import hierarchical_loss
 from ..metrics.segmentation import level_confusion_matrices
 from .state import TrainState
 
-__all__ = ["make_train_step", "make_eval_step", "split_targets"]
+__all__ = ["make_train_step", "make_eval_step", "split_targets",
+           "bn_ema_correction"]
+
+
+def bn_ema_correction(old_stats, one_update_stats, momentum: float, d: int):
+    """Exact closed form for "apply the BN running-stat EMA ``d`` times with
+    the same batch value" given ONE applied update.
+
+    The reference re-runs the backbone once per tree level (models.py:277/:773)
+    so each BN layer EMA-updates its running stats D times per optimizer step —
+    with the *same* batch statistics each time (same input, same weights).
+    With the shared-backbone forward the model applies the update once:
+    ``n1 = m*ra + (1-m)*v``. D sequential updates give
+    ``nD = m^D*ra + (1-m^D)*v``; substituting ``v = (n1 - m*ra)/(1-m)``:
+
+        nD = ra*(m^D - m*k) + n1*k,   k = (1-m^D)/(1-m)
+
+    Elementwise over the (tiny, per-channel) batch_stats pytree."""
+    if d <= 1:
+        return one_update_stats
+    m = momentum
+    k = (1.0 - m**d) / (1.0 - m)
+    c_old = m**d - m * k
+    return jax.tree_util.tree_map(
+        lambda ra, n1: (ra * c_old + n1 * k).astype(n1.dtype),
+        old_stats, one_update_stats,
+    )
 
 
 def split_targets(tree: ClassTree, targets: jax.Array, hierarchical: bool):
@@ -32,6 +58,22 @@ def split_targets(tree: ClassTree, targets: jax.Array, hierarchical: bool):
     if not hierarchical:
         return [targets]
     return tree.split_levels(targets, axis=-1)
+
+
+def _device_decode(images: jax.Array, targets: jax.Array):
+    """Device-side completion of the compact host formats (data/dataset.py):
+    int8 ternary targets upcast to f32, single-channel grayscale images
+    broadcast to the reference's 3-channel layout. Both fuse into the first
+    consumers — the host ships 4x/3x fewer bytes through the interconnect."""
+    import jax.numpy as jnp
+
+    if targets.dtype != jnp.float32:
+        targets = targets.astype(jnp.float32)
+    if images.shape[-1] == 1:
+        images = jnp.broadcast_to(
+            images, images.shape[:-1] + (3,)
+        )
+    return images, targets
 
 
 def _metric_outputs(out, hierarchical: bool):
@@ -59,15 +101,27 @@ def make_train_step(
     donate: bool = True,
 ) -> Callable:
     """Returns jitted ``step(state, images, targets, level_mask) ->
-    (state, aux)`` with aux = {loss, per_level, confmats}."""
+    (state, aux)`` with aux = {loss, per_level, confmats}.
+
+    BN running-stat semantics: the reference updates every BN's EMA once per
+    backbone re-run (D times per step for a depth-D tree). The shared-backbone
+    forward applies it once; ``bn_ema_correction`` restores the exact D-times
+    value (model.bn_updates_per_step, models/hierarchical.py)."""
+    from ..models.norm import BN_MOMENTUM as bn_momentum
+
+    bn_d = int(getattr(model, "bn_updates_per_step", 1))
 
     def loss_fn(params, batch_stats, images, targets, level_mask):
+        images, targets = _device_decode(images, targets)
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
         )
+        updates = {"batch_stats": bn_ema_correction(
+            batch_stats, updates["batch_stats"], bn_momentum, bn_d
+        )}
         tgt = split_targets(tree, targets, hierarchical)
         total, per_level = hierarchical_loss(
             out.logits_per_level,
@@ -100,7 +154,8 @@ def make_train_step(
         )
         aux = {"loss": loss, "per_level": per_level}
         if compute_metrics:
-            tgt = split_targets(tree, targets, hierarchical)
+            _, targets_f32 = _device_decode(images, targets)
+            tgt = split_targets(tree, targets_f32, hierarchical)
             aux["confmats"] = level_confusion_matrices(
                 _metric_outputs(out, hierarchical), tgt
             )
@@ -120,12 +175,18 @@ def make_eval_step(
     dice_smooth: float = 0.0,
     ohem=None,
     return_outputs: bool = False,
+    per_image_metrics: bool = False,
 ) -> Callable:
     """Jitted ``eval_step(params, batch_stats, images, targets) ->
     {loss, per_level, confmats[, outputs]}`` (reference ``test``,
-    train.py:283-393 / predictEval.py:265-573). Uses running BN statistics."""
+    train.py:283-393 / predictEval.py:265-573). Uses running BN statistics.
+
+    ``per_image_metrics=True`` makes confmats (B, C', C') — required by the
+    batched offline Evaluator to reproduce the reference's per-image scoring
+    (predictEval batch=1) while running the forward at batch > 1."""
 
     def step(params, batch_stats, images, targets):
+        images, targets = _device_decode(images, targets)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
@@ -146,7 +207,9 @@ def make_eval_step(
         res = {
             "loss": total,
             "per_level": per_level,
-            "confmats": level_confusion_matrices(scores, tgt),
+            "confmats": level_confusion_matrices(
+                scores, tgt, per_image=per_image_metrics
+            ),
         }
         if return_outputs:
             res["outputs"] = scores

@@ -146,3 +146,55 @@ def test_batch_loader_drop_last_false_and_single_worker(tmp_path, default_tree):
     assert len(dl) == 2 and len(batches) == 2
     assert batches[0][0].shape[0] == 2
     assert batches[1][0].shape[0] == 1  # ragged final batch preserved
+
+
+def test_compact_host_formats_bit_identical(tmp_path, default_tree):
+    """int8 ternary targets + single-channel gray images (host_compact) carry
+    exactly the f32/3ch values — the jitted steps' device-side decode
+    (train/steps.py _device_decode) restores the reference layout."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.data.dataset import (
+        SegDataset,
+    )
+
+    write_synth_dataset(str(tmp_path), 3, size=80, seed=7)
+    import glob as g
+    imgs = sorted(g.glob(str(tmp_path / "fold_1" / "train" / "images" / "*")))
+    labs = sorted(g.glob(str(tmp_path / "fold_1" / "train" / "labels" / "*")))
+    ref = SegDataset(imgs, labs, default_tree, 48, True, augment=True)
+    cmp = SegDataset(imgs, labs, default_tree, 48, True, augment=True,
+                     target_dtype=np.int8, emit_gray=True)
+    for k in range(len(imgs)):
+        xf, yf = ref.__getitem__(k, np.random.default_rng(100 + k))
+        xi, yi = cmp.__getitem__(k, np.random.default_rng(100 + k))
+        assert yi.dtype == np.int8
+        np.testing.assert_array_equal(yf, yi.astype(np.float32))
+        x3 = (np.broadcast_to(xi, xi.shape[:-1] + (3,))
+              if xi.shape[-1] == 1 else xi)
+        np.testing.assert_array_equal(xf, x3)
+
+    # the numpy fallback honors the dtype too
+    cmp_np = SegDataset(imgs, labs, default_tree, 48, True, augment=True,
+                        target_dtype=np.int8, emit_gray=True,
+                        use_native=False)
+    for k in range(len(imgs)):
+        xf, yf = ref.__getitem__(k, np.random.default_rng(100 + k))
+        xi, yi = cmp_np.__getitem__(k, np.random.default_rng(100 + k))
+        assert yi.dtype == np.int8
+        np.testing.assert_array_equal(yf, yi.astype(np.float32))
+
+
+def test_device_decode_roundtrip(default_tree):
+    import jax.numpy as jnp
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.steps import (
+        _device_decode,
+    )
+
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    y8 = rng.integers(-1, 2, (2, 8, 8, 8)).astype(np.int8)
+    xd, yd = _device_decode(jnp.asarray(x1), jnp.asarray(y8))
+    assert xd.shape == (2, 8, 8, 3) and yd.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(yd), y8.astype(np.float32))
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(xd[..., c]), x1[..., 0])

@@ -131,6 +131,57 @@ def test_predict_eval_hier_and_flat(tmp_path, synth_root, assets_dir, monkeypatc
         assert dumps
 
 
+def test_batched_eval_identical_to_batch1(tmp_path, synth_root, assets_dir,
+                                          monkeypatch):
+    """Offline eval at val_batch>1 (incl. a padded ragged last batch) must
+    produce the exact per-class metrics of the reference's batch=1 loop —
+    per-image confusion matrices make the batching invisible to the scores."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+
+    def small(tree, model_select, model_type, *args, **kwargs):
+        return H.HierarchicalSegmenter(
+            tree=tree, backbone=UNetBackbone(base_ch=8),
+            hierarchical=model_type == 1,
+        )
+
+    for mod in ("loop", "evaluate"):
+        monkeypatch.setattr(
+            f"restrictive_hierarchical_semantic_segmentation_tpu.train.{mod}."
+            "build_model",
+            small,
+        )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.evaluate import (
+        predict_eval,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.loop import train
+
+    for model_type in (1, 0):
+        run = str(tmp_path / f"runb{model_type}")
+        cfg = _cfg(synth_root, run, assets_dir, model_type=model_type,
+                   epochs=1, folds=1)
+        train(cfg)
+        weights = [os.path.join(run, "fold_1", "best.ckpt")]
+        roots = [os.path.join(synth_root, "fold_1", "val")]
+        res1 = predict_eval(cfg, weights, roots, save_root="",
+                            save_images=False)
+        # 3 does not divide the val set size -> exercises the padded tail
+        cfg_b = _cfg(synth_root, run, assets_dir, model_type=model_type,
+                     epochs=1, folds=1, val_batch=3)
+        res3 = predict_eval(cfg_b, weights, roots, save_root="",
+                            save_images=False)
+        for m1, m3 in zip(res1[0]["per_class"], res3[0]["per_class"]):
+            for k in m1:
+                np.testing.assert_allclose(m3[k], m1[k], rtol=1e-6,
+                                           err_msg=f"{model_type} {k}")
+        np.testing.assert_allclose(res3[0]["measure"], res1[0]["measure"],
+                                   rtol=1e-6)
+
+
 def test_flat_reconstruction_exactness(default_tree):
     """Parent channels must equal the union of descendant leaf predictions."""
     from restrictive_hierarchical_semantic_segmentation_tpu.train.evaluate import (
@@ -261,3 +312,40 @@ def test_trainer_donor_pth_load_path(tmp_path, synth_root, assets_dir,
     np.testing.assert_allclose(k, 0.25)
     np.testing.assert_allclose(
         np.asarray(tr.state.params["backbone"]["inc"]["conv0"]["bias"]), 0.5)
+
+
+def test_agreement_reproducibility(tmp_path):
+    """Test/retest reproducibility table (the reference's commented-out
+    block, AgreementModule.py:121-187, implemented for real; opt-in)."""
+    import cv2
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.cli.agreement import (
+        run_reproducibility,
+    )
+
+    d = tmp_path / "preds"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    slot_names = [
+        "ap12a", "ap12p", "ap40a", "ap40p", "ap100a", "ap100p", "ap200a",
+        "ap200p", "iso100", "iso200", "iso300", "iso400", "ofc40", "ofr200",
+        "tscanA", "tscanB",
+    ]
+    for pat in ("z1", "z2"):
+        for s, name in enumerate(slot_names):
+            base = np.zeros((32, 32), np.uint8)
+            base[4:20, 4:20] = 255
+            shifted = np.zeros((32, 32), np.uint8)
+            shifted[4:20, 8:24] = 255
+            cv2.imwrite(str(d / f"{pat}Td-{name}.png"), base)
+            cv2.imwrite(str(d / f"{pat}Rd-{name}.png"), shifted)
+    report = run_reproducibility(str(d))
+    assert set(report) == {
+        "AP12", "AP40", "AP100", "AP200", "ISO100", "ISO200", "ISO300",
+        "ISO400", "OFC", "OFR", "TSCAN100",
+    }
+    # identical geometry in every slot: agreement = 1 - (fn+fp)/2 with
+    # ref=256, test=256, overlap=192 -> fn=fp=0.25 -> 0.75 (cf.
+    # test_agreement_cli's arithmetic)
+    for v in report.values():
+        np.testing.assert_allclose(v, 0.75)

@@ -30,9 +30,15 @@ def test_module_matches_flax_bn_train_and_eval():
     np.testing.assert_allclose(
         np.asarray(up["batch_stats"]["mean"]),
         np.asarray(uf["batch_stats"]["mean"]), rtol=1e-4, atol=1e-6)
+    # running var: ours stores torch's UNBIASED batch variance; flax stores
+    # the biased one (see models/norm.py) — reconstruct the expected update
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    ra = np.ones((16,), np.float32)
+    flax_var = np.asarray(uf["batch_stats"]["var"])
+    batch_var = (flax_var - 0.9 * ra) / 0.1
+    want = 0.9 * ra + 0.1 * batch_var * n / (n - 1)
     np.testing.assert_allclose(
-        np.asarray(up["batch_stats"]["var"]),
-        np.asarray(uf["batch_stats"]["var"]), rtol=1e-3, atol=1e-5)
+        np.asarray(up["batch_stats"]["var"]), want, rtol=1e-3, atol=1e-5)
 
     # eval mode with shared (nontrivial) stats
     stats = {"mean": jnp.asarray(x.reshape(-1, 16).mean(0)),

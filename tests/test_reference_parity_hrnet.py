@@ -160,3 +160,116 @@ def test_hier_hrnet_forward_parity(ref_models, default_tree):
         np.testing.assert_allclose(
             np.asarray(f_probs[L]), t_probs[L].permute(0, 2, 3, 1).numpy(),
             rtol=2e-3, atol=5e-4, err_msg=f"probs level {L}")
+
+
+def test_hier_hrnet_TRAIN_mode_parity_incl_running_stats(
+    ref_models, default_tree
+):
+    """Train-mode parity (VERDICT r1 item #7): batch-stats normalization path
+    AND the BN running statistics after one step.
+
+    The reference re-runs the backbone once per level (models.py:773), so
+    torch's BN EMAs update D=2 times per forward; our shared-backbone model
+    updates once and ``bn_ema_correction`` restores the D-times value. With
+    LeanBatchNorm storing torch's unbiased running variance, every running
+    mean/var leaf must match the torch model's bit-for-bit (fp tolerance).
+    """
+    import jax
+    import json
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.hrnet import (
+        HRNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.hierarchical import (
+        HierarchicalSegmenter,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.norm import (
+        BN_MOMENTUM,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.steps import (
+        bn_ema_correction,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.torch_import import (
+        translate_flax_path,
+    )
+
+    ours_cfg, theirs_cfg = small_cfg_dicts()
+    fmodel = HierarchicalSegmenter(
+        tree=default_tree, backbone=HRNetBackbone(config=ours_cfg),
+        hierarchical=True, final_conv_kernel=1, align_corners=True,
+    )
+    assert fmodel.bn_updates_per_step == 2
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(1), x, train=False)
+    # non-trivial initial running stats so the EMA has something to decay
+    variables = jax.tree_util.tree_map(lambda v: v, variables)  # unfreeze-safe
+    import flax
+
+    bs = flax.core.unfreeze(variables["batch_stats"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["batch_stats"])
+
+    tree_dict = json.load(open(os.path.join(REF, "class_tree_tl.json")))
+    tmodel = ref_models.HighResolutionNet(
+        config=theirs_cfg, hierarchy=tree_dict, model_type=1
+    )
+
+    sd = {}
+    for coll in ("params", "batch_stats"):
+        for path, v in _flatten(variables[coll]).items():
+            a = np.asarray(v)
+            if path[-1] == "kernel":
+                a = a.transpose(3, 2, 0, 1) if a.ndim == 4 else a.T
+            cands = translate_flax_path(path, coll, model_select=1)
+            if cands:
+                sd[cands[0]] = torch.from_numpy(np.ascontiguousarray(a))
+    tmodel.load_state_dict(sd, strict=False)
+    params = variables["params"]
+    for L in range(2):
+        k = np.asarray(params[f"head_l{L}"]["kernel"])
+        tmodel.classifiers[L].weight.data = torch.from_numpy(
+            np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+        tmodel.classifiers[L].bias.data = torch.from_numpy(
+            np.asarray(params[f"head_l{L}"]["bias"]).copy())
+    w = np.asarray(params["film_l1"]["mlp"]["kernel"])
+    tmodel.films[0].mlp[1].weight.data = torch.from_numpy(
+        np.ascontiguousarray(w.T))
+    tmodel.films[0].mlp[1].bias.data = torch.from_numpy(
+        np.asarray(params["film_l1"]["mlp"]["bias"]).copy())
+
+    # ---- torch train-mode forward: D=2 natural EMA updates ----------------
+    tmodel.train()
+    with torch.no_grad():
+        t_probs, t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    # ---- ours: one shared pass + closed-form D-times correction -----------
+    (f_probs, f_logits, _), upd = fmodel.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    new_stats = bn_ema_correction(
+        variables["batch_stats"], upd["batch_stats"], BN_MOMENTUM, 2
+    )
+
+    for L in range(2):
+        np.testing.assert_allclose(
+            np.asarray(f_logits[L]), t_logits[L].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=5e-4, err_msg=f"train-mode logits level {L}")
+        np.testing.assert_allclose(
+            np.asarray(f_probs[L]), t_probs[L].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=5e-4, err_msg=f"train-mode probs level {L}")
+
+    # ---- every running mean/var leaf vs the torch model -------------------
+    t_sd = tmodel.state_dict()
+    checked = 0
+    for path, v in _flatten(new_stats).items():
+        cands = translate_flax_path(path, "batch_stats", model_select=1)
+        if not cands:
+            continue
+        torch_v = t_sd[cands[0]].numpy()
+        np.testing.assert_allclose(
+            np.asarray(v), torch_v, rtol=1e-4, atol=1e-5,
+            err_msg="/".join(path),
+        )
+        checked += 1
+    assert checked > 50  # the whole backbone's BNs were compared
