@@ -76,6 +76,8 @@ def get_args(argv=None):
     p.add_argument("--ohem-keep", type=int, default=100000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--tensorboard", type=str, default="False",
+                   help="also write tf.summary events under <fold>/logs/tb")
     p.add_argument("--host-compact", type=str, default="True",
                    help="int8 ternary targets + 1ch gray images decoded on "
                         "device (smaller host->device transfers)")
@@ -129,6 +131,7 @@ def config_from_args(args):
         profile_dir=args.profile_dir,
         n_space=args.n_space,
         host_compact=_bool(args.host_compact),
+        tensorboard=_bool(args.tensorboard),
     )
 
 

@@ -62,6 +62,7 @@ class RunConfig:
     save_images_batch: bool = False
     save_images_batch_num: int = 10
     profile_dir: Optional[str] = None
+    tensorboard: bool = False        # tf.summary events under <fold>/logs/tb
 
     # parallelism
     n_space: int = 1                 # spatial-sharding mesh axis size

@@ -309,6 +309,11 @@ class Trainer:
                 self._truncate_csv(csv_path, self.start_epoch)
             else:
                 os.remove(csv_path)  # fresh run (train.py:599-600)
+        from ..utils.logging import MetricsLogger
+
+        logger = MetricsLogger(os.path.join(self.save_loc, "logs"),
+                               tensorboard=cfg.tensorboard)
+        logger.truncate_after(self.start_epoch - 1)
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             if self.scheduler:
                 self.state = set_learning_rate(self.state, self.scheduler.lr)
@@ -325,6 +330,15 @@ class Trainer:
                 f"iou {va['overall']['iou']:.4f} lr {self.state.lr():.5f}",
                 flush=True,
             )
+            logger.log(epoch, {
+                "loss": tr["loss"], "dice": tr["overall"]["dice"],
+                "iou": tr["overall"]["iou"],
+                "sec_per_epoch": tr["time"], "lr": self.state.lr(),
+            }, prefix="train")
+            logger.log(epoch, {
+                "loss": va["loss"], "dice_no_bg": va["measure_mean"],
+                "iou": va["overall"]["iou"], "dice": va["overall"]["dice"],
+            }, prefix="val")
             if self.scheduler:
                 self.scheduler.step(va["measure_mean"])
             sched_meta = (

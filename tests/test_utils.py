@@ -80,3 +80,41 @@ def test_confusion_scatter_fallback_matches_matmul(monkeypatch):
 
     cm_sc = np.asarray(patched(outs, targs)[0])
     np.testing.assert_array_equal(cm_mm, cm_sc)
+
+
+def test_metrics_logger_jsonl_and_resume_truncate(tmp_path):
+    """JSONL metrics sink (SURVEY §5.5 gap) + resume truncation."""
+    import json
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.utils.logging import (
+        MetricsLogger,
+    )
+
+    lg = MetricsLogger(str(tmp_path))
+    for e in (1, 2, 3):
+        lg.log(e, {"loss": 1.0 / e}, prefix="train")
+    rows = [json.loads(x) for x in open(tmp_path / "metrics.jsonl")]
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[1]["train/loss"] == 0.5
+    # resume from epoch 2: epoch-3 rows from the crashed run are dropped
+    lg2 = MetricsLogger(str(tmp_path))
+    lg2.truncate_after(2)
+    rows = [json.loads(x) for x in open(tmp_path / "metrics.jsonl")]
+    assert [r["step"] for r in rows] == [1, 2]
+
+
+def test_tensorboard_sink_writes_events(tmp_path):
+    from restrictive_hierarchical_semantic_segmentation_tpu.utils.logging import (
+        MetricsLogger,
+        tensorboard_available,
+    )
+
+    if not tensorboard_available():
+        import pytest
+
+        pytest.skip("tensorflow not importable")
+    lg = MetricsLogger(str(tmp_path), tensorboard=True)
+    lg.log(1, {"dice": 0.5}, prefix="val")
+    import glob as g
+
+    assert g.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
