@@ -32,10 +32,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--flat", action="store_true")
-    ap.add_argument("--remat", action="store_true",
-                    help="rematerialize backbone re-runs (bandwidth for FLOPs)")
+    ap.add_argument("--remat", nargs="?", const="module", default=None,
+                    choices=["module", "conv"],
+                    help="rematerialization: bare/--remat module = full "
+                         "per-module recompute; --remat conv = save conv "
+                         "outputs, recompute elementwise tails only")
     ap.add_argument("--pallas-bn", action="store_true",
                     help="fused Pallas BN+act kernels in the backbone")
+    ap.add_argument("--tree", default="default", choices=["default", "extended"],
+                    help="extended = the depth-4 tree (reference pays 4 "
+                         "backbone passes; the shared pass pays one)")
     args = ap.parse_args()
 
     import jax
@@ -67,9 +73,13 @@ def main():
         make_train_step,
     )
 
+    tree_file = ("class_tree_tl_extended.json" if args.tree == "extended"
+                 else "class_tree_tl.json")
+    map_file = ("class_map_extended.csv" if args.tree == "extended"
+                else "class_map.csv")
     tree = ClassTree.from_json(
-        os.path.join(HERE, "assets", "class_tree_tl.json"),
-        os.path.join(HERE, "assets", "class_map.csv"),
+        os.path.join(HERE, "assets", tree_file),
+        os.path.join(HERE, "assets", map_file),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_model(
@@ -77,7 +87,7 @@ def main():
         model_select=1 if args.model == "hrnet" else 0,
         model_type=0 if args.flat else 1,
         dtype=dtype,
-        remat=args.remat,
+        remat=args.remat or False,
         use_pallas_bn=args.pallas_bn,
     )
     n_chips = len(jax.devices())
@@ -85,29 +95,40 @@ def main():
     B = args.batch * max(1, n_chips)
     S = args.img
 
-    rng = np.random.default_rng(0)
-    x = rng.normal(size=(B, S, S, 3)).astype(np.float32)
-    n_classes = tree.num_classes if not args.flat else tree.num_leaves
-    y = np.full((B, S, S, n_classes), 0.0, np.float32)
-    y[..., 0] = 1.0
-    if not args.flat:
-        # realistic ternary structure: tooth occupies the central band with a
-        # child class inside; everything child-level outside tooth is -1
-        tooth = np.zeros((S, S), bool)
-        tooth[S // 4 : S // 2, :] = True
-        y[:, tooth, 0] = 0.0
-        y[:, tooth, 3] = 1.0
-        a, b = tree.level_slices[1]
-        y[..., a:b] = -1.0
-        y[:, tooth, a] = 1.0
-        y[:, tooth, a + 1 :] = 0.0
-
-    # reference recipe weights (README.md:71-91)
-    lw = (
-        [[0.0297, 1.577, 0.9619, 0.1770], [1.5432, 0.2638, 1.0413, 3.9722]]
-        if not args.flat
-        else [[0.0285, 1.5159, 0.9227, 1.4842, 0.2532, 1.0, 3.8021]]
+    # realistic batches straight from the target factory (works for any tree
+    # whose leaves use the TL-pano pixel coding — both shipped trees do)
+    from restrictive_hierarchical_semantic_segmentation_tpu.data.synthetic import (
+        synth_sample,
     )
+    from restrictive_hierarchical_semantic_segmentation_tpu.data.target_factory import (
+        leaf_masks,
+        node_masks,
+        ternary_encode,
+    )
+
+    rng = np.random.default_rng(0)
+    xs, ys = [], []
+    for i in range(B):
+        img, mask = synth_sample(rng, S)
+        xs.append(((np.stack((img,) * 3, -1).astype(np.float32) / 255.0)
+                   - 0.5) / 0.5)
+        if args.flat:
+            ys.append(leaf_masks(mask, tree).astype(np.float32))
+        else:
+            ys.append(ternary_encode(
+                node_masks(mask, tree).astype(np.float32), tree))
+    x = np.stack(xs)
+    y = np.stack(ys)
+
+    # reference recipe weights (README.md:71-91) for the default tree
+    if args.tree == "extended":
+        lw = None
+    else:
+        lw = (
+            [[0.0297, 1.577, 0.9619, 0.1770], [1.5432, 0.2638, 1.0413, 3.9722]]
+            if not args.flat
+            else [[0.0285, 1.5159, 0.9227, 1.4842, 0.2532, 1.0, 3.8021]]
+        )
 
     state, tx = create_train_state(
         model, jax.random.PRNGKey(0), x[:1], lr=0.018

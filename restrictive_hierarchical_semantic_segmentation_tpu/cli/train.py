@@ -68,6 +68,8 @@ def get_args(argv=None):
     p.add_argument("--concat-prev-probs", type=str, default="False",
                    help="README-abstract image(+)probs conditioning variant")
     p.add_argument("--remat", type=str, default="False",
+                   # "false" | "true"/"module" (full per-module recompute) |
+                   # "conv" (save conv outputs only — lighter memory knob)
                    help="rematerialize backbone re-runs (memory for FLOPs)")
     p.add_argument("--lambda-cons", type=float, default=1.0)
     p.add_argument("--lambda-kl", type=float, default=0.0)
@@ -104,7 +106,8 @@ def config_from_args(args):
         img_size=args.img_size,
         hrnet_yaml=args.config or None,
         concat_prev_probs=_bool(args.concat_prev_probs),
-        remat=_bool(args.remat),
+        remat=(args.remat.lower() if args.remat.lower() in ("module", "conv")
+               else _bool(args.remat)),
         compute_dtype=args.compute_dtype,
         epochs=args.epochs,
         batch_size=args.batch_size,

@@ -66,6 +66,17 @@ def hrnet_w18() -> HRNetConfig:
     return _width_cfg(18)
 
 
+def resolve_hrnet_config(name_or_path: str) -> HRNetConfig:
+    """``--config`` resolver: the shorthand names ``w18``/``w32``/``w48``
+    (the reference's hrnet_config.py MODEL_CONFIGS family, vestigial there,
+    first-class here) or a reference-format YAML path."""
+    key = name_or_path.strip().lower()
+    factories = {"w18": hrnet_w18, "w32": hrnet_w32, "w48": hrnet_w48}
+    if key in factories:
+        return factories[key]()
+    return load_hrnet_yaml(name_or_path)
+
+
 def load_hrnet_yaml(path: str) -> HRNetConfig:
     """Load a reference-format YAML (MODEL.EXTRA.STAGE{1..4}) into HRNetConfig.
 

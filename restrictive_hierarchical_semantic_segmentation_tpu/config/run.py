@@ -26,7 +26,10 @@ class RunConfig:
     img_size: int = 352
     hrnet_yaml: Optional[str] = None # reference --config
     concat_prev_probs: bool = False  # README-abstract variant
-    remat: bool = False              # rematerialize backbone re-runs
+    # rematerialization: False | "module" (full per-module recompute) |
+    # "conv" (save conv outputs, recompute elementwise tails — the
+    # bandwidth-sweet memory knob); True is accepted as "module"
+    remat: object = False
     compute_dtype: str = "float32"   # "bfloat16" for mixed precision
 
     # optimization

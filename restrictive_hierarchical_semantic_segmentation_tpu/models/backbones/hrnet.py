@@ -31,7 +31,15 @@ def _bn_act(x, dtype, train, name, act="none", pallas=False):
 
     pallas=False: LeanBatchNorm (global-batch stats under SPMD == SyncBN;
     bf16-folded normalization — see models/norm.py) + relu. pallas=True: the
-    fused Pallas kernel path (models/pallas_bn.py), identical variable layout."""
+    fused Pallas kernel path (models/pallas_bn.py), identical variable layout.
+
+    Every ``_bn_act`` input is a conv output; tagging it here lets the
+    ``remat="conv"`` policy (save conv outputs, recompute the elementwise
+    BN/relu tail in backward) cover the whole backbone from one place.
+    The tag is a no-op outside a policy-remat region."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    x = checkpoint_name(x, "conv_out")
     if pallas:
         from ..pallas_bn import PallasBatchNormAct
 
@@ -239,10 +247,16 @@ class HRNetBackbone(nn.Module):
 
     config: HRNetConfig
     dtype: jnp.dtype = jnp.float32
-    # rematerialize each HighResolutionModule in backward (bandwidth->FLOPs);
-    # finer-grained than whole-backbone remat, which this environment's
-    # remote TPU compiler cannot digest at 620px
-    remat: bool = False
+    # rematerialization of each HighResolutionModule in backward:
+    #   False/None — save everything (XLA default);
+    #   "module"/True — full recompute per module (max memory savings,
+    #     measured +19% step time at 620px/b16 round 1);
+    #   "conv" — policy remat: SAVE conv outputs, recompute only the
+    #     elementwise BN/relu/add tails (~halves saved activations at a few
+    #     % recompute FLOPs — the bandwidth-sweet spot).
+    # (whole-backbone remat regions overwhelm this environment's remote TPU
+    # compiler at 620px, hence per-module granularity for all modes)
+    remat: object = False
     # fused Pallas BN+act kernels instead of XLA flax BN (per-replica stats;
     # see models/pallas_bn.py scope note)
     use_pallas_bn: bool = False
@@ -279,15 +293,25 @@ class HRNetBackbone(nn.Module):
             xs = Transition(tuple(prev_channels), tuple(cur_channels),
                             self.dtype, pallas_bn=self.use_pallas_bn,
                             name=f"transition{si - 1}")(xs, train)
+            mode = ("module" if self.remat in (True, "module")
+                    else self.remat if self.remat in ("conv",) else None)
             for m in range(stage.num_modules):
                 # reference models.py:665-680: all modules multi-scale here
                 mod = HighResolutionModule(
                     stage, tuple(cur_channels), ac, True, self.dtype,
                     pallas_bn=self.use_pallas_bn,
                     name=f"stage{si}_m{m}")
-                if self.remat:
+                if mode == "module":
                     xs = nn.remat(
                         lambda mm, inputs: mm(inputs, train)
+                    )(mod, xs)
+                elif mode == "conv":
+                    import jax as _jax
+
+                    xs = nn.remat(
+                        lambda mm, inputs: mm(inputs, train),
+                        policy=_jax.checkpoint_policies.save_only_these_names(
+                            "conv_out"),
                     )(mod, xs)
                 else:
                     xs = mod(xs, train)

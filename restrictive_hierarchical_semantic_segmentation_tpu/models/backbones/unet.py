@@ -31,10 +31,14 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from jax.ad_checkpoint import checkpoint_name
+
         for i in range(2):
             x = nn.Conv(
                 self.out_ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}"
             )(x)
+            # tag for the remat="conv" policy (no-op outside remat regions)
+            x = checkpoint_name(x, "conv_out")
             x = LeanBatchNorm(
                 use_running_average=not train,
                 dtype=self.dtype,

@@ -84,7 +84,7 @@ class HierarchicalSegmenter(nn.Module):
     final_conv_kernel: int = 1       # HRNet FINAL_CONV_KERNEL (yaml:18)
     align_corners: bool = True       # for logit upsampling (HRNet path)
     concat_prev_probs: bool = False  # README-abstract variant (off = code parity)
-    remat: bool = False              # jax.checkpoint each backbone re-run
+    remat: object = False            # False | "module"/True | "conv" (see _run_backbone)
     share_backbone: bool = True      # one explicit pass for all levels (exact)
     dtype: jnp.dtype = jnp.float32
 
@@ -101,10 +101,19 @@ class HierarchicalSegmenter(nn.Module):
         return 1
 
     def _run_backbone(self, x, train: bool):
-        """One donor pass; with ``remat=True`` the D re-runs' activations are
-        rematerialized in backward (FLOPs for HBM — large-batch scaling)."""
+        """One donor pass; ``remat`` trades FLOPs for HBM (large-batch
+        scaling): True/"module" = full recompute in backward, "conv" = save
+        conv outputs and recompute only the elementwise BN/relu tails."""
         if not self.remat:
             return self.backbone(x, train=train)
+        if self.remat == "conv":
+            import jax
+
+            return nn.remat(
+                lambda m, xx: m(xx, train=train),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"),
+            )(self.backbone, x)
         return nn.remat(lambda m, xx: m(xx, train=train))(self.backbone, x)
 
     def _head(self, feats, out_ch: int, name: str):

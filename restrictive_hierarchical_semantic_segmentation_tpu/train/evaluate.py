@@ -84,9 +84,9 @@ class Evaluator:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:
-            from ..config.hrnet import load_hrnet_yaml
+            from ..config.hrnet import resolve_hrnet_config
 
-            hrnet_cfg = load_hrnet_yaml(cfg.hrnet_yaml)
+            hrnet_cfg = resolve_hrnet_config(cfg.hrnet_yaml)
         self.model = build_model(
             tree, cfg.model_select, cfg.model_type, hrnet_cfg, dtype,
             cfg.concat_prev_probs,

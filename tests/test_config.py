@@ -87,3 +87,20 @@ def test_predict_cli_arg_parsing(assets_dir):
         "--folds", "5",
     ])
     assert args.root == "d" and args.folds == 5
+
+
+def test_resolve_hrnet_config_shorthands(assets_dir):
+    """--config accepts w18/w32/w48 shorthands (the reference's
+    hrnet_config.py MODEL_CONFIGS family, vestigial there) or a YAML path."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.config.hrnet import (
+        hrnet_w48,
+        resolve_hrnet_config,
+    )
+
+    for name, width, last in (("w18", 18, 270), ("w32", 32, 480),
+                              ("w48", 48, 720)):
+        cfg = resolve_hrnet_config(name)
+        assert cfg.stage4.num_channels[0] == width
+        assert cfg.last_channels == last
+    via_yaml = resolve_hrnet_config(str(assets_dir / "seg_hrnet_w48.yaml"))
+    assert via_yaml == hrnet_w48()

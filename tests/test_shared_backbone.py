@@ -164,3 +164,80 @@ def test_train_step_equivalence_incl_running_stats(default_tree):
     denom = float(jnp.linalg.norm(flat_n)) + 1e-12
     rel = float(jnp.linalg.norm(flat_s - flat_n)) / denom
     assert rel < 5e-5, f"relative grad diff {rel}"
+
+
+def test_conv_policy_remat_matches_no_remat(default_tree):
+    """remat="conv" (save conv outputs, recompute elementwise tails) must be
+    numerically identical to no-remat — it only changes WHAT backward saves."""
+    rng = np.random.default_rng(5)
+    x, y = make_batch(default_tree, rng, B=2, S=16)
+    mask = jnp.ones((2,), jnp.float32)
+
+    models = {
+        mode: HierarchicalSegmenter(
+            tree=default_tree, backbone=UNetBackbone(base_ch=8),
+            hierarchical=True, remat=mode,
+        )
+        for mode in (False, "conv")
+    }
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.steps import (
+        make_train_step,
+    )
+
+    states = {}
+    for mode, m in models.items():
+        state, tx = create_train_state(m, jax.random.PRNGKey(7), x[:1], 1e-3)
+        step = make_train_step(m, tx, default_tree, True, donate=False)
+        states[mode] = step(state, x, y, mask)
+    (s0, a0), (s1, a1) = states[False], states["conv"]
+    np.testing.assert_allclose(float(a0["loss"]), float(a1["loss"]), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s0.params, s1.params,
+    )
+
+
+def test_hrnet_conv_policy_remat_matches(default_tree):
+    from restrictive_hierarchical_semantic_segmentation_tpu.config.hrnet import (
+        HRNetConfig,
+        HRNetStage,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.hrnet import (
+        HRNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.steps import (
+        make_train_step,
+    )
+
+    cfg = HRNetConfig(
+        stage1=HRNetStage(1, 1, "BOTTLENECK", (1,), (4,)),
+        stage2=HRNetStage(1, 2, "BASIC", (1, 1), (4, 8)),
+        stage3=HRNetStage(1, 3, "BASIC", (1, 1, 1), (4, 8, 16)),
+        stage4=HRNetStage(1, 4, "BASIC", (1, 1, 1, 1), (4, 8, 16, 32)),
+    )
+    rng = np.random.default_rng(6)
+    x, y = make_batch(default_tree, rng, B=2, S=32)
+    mask = jnp.ones((2,), jnp.float32)
+    results = {}
+    for mode in (False, "conv", "module"):
+        m = HierarchicalSegmenter(
+            tree=default_tree, backbone=HRNetBackbone(config=cfg, remat=mode),
+            hierarchical=True,
+        )
+        state, tx = create_train_state(m, jax.random.PRNGKey(9), x[:1], 1e-3)
+        step = make_train_step(m, tx, default_tree, True, donate=False)
+        results[mode] = step(state, x, y, mask)
+    base_loss = float(results[False][1]["loss"])
+    for mode in ("conv", "module"):
+        np.testing.assert_allclose(
+            float(results[mode][1]["loss"]), base_loss, rtol=1e-6,
+            err_msg=str(mode),
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            results[False][0].params, results[mode][0].params,
+        )
