@@ -78,6 +78,9 @@ def get_args(argv=None):
     p.add_argument("--ohem-keep", type=int, default=100000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--auto-resume", type=str, default="False",
+                   help="resume each fold from its last.ckpt when present "
+                        "(crash/preemption-safe restarts)")
     p.add_argument("--tensorboard", type=str, default="False",
                    help="also write tf.summary events under <fold>/logs/tb")
     p.add_argument("--host-compact", type=str, default="True",
@@ -135,6 +138,7 @@ def config_from_args(args):
         n_space=args.n_space,
         host_compact=_bool(args.host_compact),
         tensorboard=_bool(args.tensorboard),
+        auto_resume=_bool(args.auto_resume),
     )
 
 

@@ -19,6 +19,9 @@ class RunConfig:
     tree_root: str = "assets/class_tree_tl.json"
     class_map: str = "assets/class_map.csv"
     model_weights: Optional[str] = None
+    # pick up <save_path>/fold_N/last.ckpt automatically when it exists —
+    # crash/preemption-safe restarts without hand-passing --model-weights
+    auto_resume: bool = False
 
     # model
     model_select: int = 0            # 0 UNet, 1 HRNet (train.py:732)

@@ -61,7 +61,9 @@ def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:
     if isinstance(b, np.ndarray) and b.shape == a.shape:
         out = cv2.addWeighted(a, factor, b, 1.0 - factor, 0.0)  # SIMD path
     else:
-        out = factor * a + (1.0 - factor) * b
+        out = np.multiply(a, factor, dtype=np.float32)
+        if b:  # scalar blend target (0.0 for brightness, mean for contrast)
+            out += (1.0 - factor) * b
     return np.clip(out, 0.0, 1.0, out=out).astype(np.float32, copy=False)
 
 

@@ -398,6 +398,16 @@ def train(cfg: RunConfig) -> List[Optional[float]]:
                 val_root = cand if os.path.exists(cand) else None
         save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
         print(f"Fold {fold}: train={train_root} val={val_root} -> {save_loc}")
-        trainer = Trainer(cfg, tree, train_root, val_root, save_loc)
+        fold_cfg = cfg
+        if cfg.auto_resume and not cfg.model_weights:
+            last = os.path.join(save_loc, "last.ckpt")
+            if os.path.exists(last):
+                # restart-safe training (beats the reference's weights-only
+                # --model-weights restart): each fold resumes independently
+                from dataclasses import replace
+
+                fold_cfg = replace(cfg, model_weights=last)
+                print(f"Auto-resuming fold {fold} from {last}")
+        trainer = Trainer(fold_cfg, tree, train_root, val_root, save_loc)
         results.append(trainer.run())
     return results

@@ -157,3 +157,24 @@ def test_resume_appends_not_deletes_csv(tmp_path, synth_root, assets_dir,
     assert rows_after[1] == rows_before[1]
     assert rows_after[2] == rows_before[2]
     assert rows_after[3][1] != "999.0"
+
+
+def test_auto_resume(tmp_path, synth_root, assets_dir, monkeypatch):
+    """--auto-resume picks up fold_N/last.ckpt without --model-weights and
+    continues the same trajectory (reuses the exact-resume machinery)."""
+    _small_model(monkeypatch)
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.loop import train
+
+    cfg = _cfg(synth_root, str(tmp_path / "d"), assets_dir, epochs=2,
+               auto_resume=True)
+    train(cfg)  # fresh run — nothing to resume from
+    d = tmp_path / "d" / "fold_1"
+    rows2 = _read_csv(d / "metrics.csv")
+    assert len(rows2) == 3
+
+    cfg2 = _cfg(synth_root, str(tmp_path / "d"), assets_dir, epochs=4,
+                auto_resume=True)
+    train(cfg2)  # restart: must auto-resume from epoch 3
+    rows4 = _read_csv(d / "metrics.csv")
+    assert [r[0] for r in rows4] == ["Epoch", "1", "2", "3", "4"]
+    assert rows4[1] == rows2[1] and rows4[2] == rows2[2]
