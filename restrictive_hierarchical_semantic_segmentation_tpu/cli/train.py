@@ -44,7 +44,7 @@ def get_args(argv=None):
     p.add_argument("--val-batch", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=-1)
     p.add_argument("--loader", type=str, default="threads",
-                   choices=["threads", "grain"])
+                   choices=["threads", "process", "grain"])
     p.add_argument("--learning-rate-scheduler", type=str, default="true",
                    dest="lrs")
     p.add_argument("--learning-rate-scheduler-minimum", type=float,

@@ -52,7 +52,7 @@ class RunConfig:
     weight_decay: float = 0.01
 
     # data
-    loader: str = "threads"          # "threads" (BatchLoader) | "grain"
+    loader: str = "threads"          # "threads" | "process" (spawn workers) | "grain"
     num_workers: int = 8
     # compact host formats: int8 ternary targets + single-channel grayscale
     # images, decoded on device by the jitted steps (4x/3x smaller

@@ -25,6 +25,60 @@ from .dataset import SegDataset
 
 __all__ = ["split_ids", "BatchLoader", "prefetch_to_device"]
 
+# ---------------------------------------------------------------------------
+# Process-pool workers (worker_mode="process").
+#
+# The torch reference forks DataLoader workers (dataloaders.py:43-46). Fork
+# is unsafe here (and on any host where the parent holds a live TPU client):
+# this environment's site hook claims the TPU in EVERY new python process
+# whenever PALLAS_AXON_POOL_IPS is set, so naively-spawned children fight the
+# parent for the chip and crash. The fix is a *spawn* context with the
+# accelerator environment scrubbed while the children boot: the workers are
+# pure cv2/numpy pixel crunchers and must never touch JAX. Sample RNG is
+# seeded per (seed, epoch, index) exactly like the thread path, so thread and
+# process modes produce bit-identical batches.
+# ---------------------------------------------------------------------------
+
+_WORKER_DS = None
+
+# env vars that make a freshly-booted python claim or look for an accelerator
+_ACCEL_ENV = ("PALLAS_AXON_POOL_IPS", "TPU_WORKER_HOSTNAMES",
+              "PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_TPU_GEN")
+
+
+def _worker_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_load(args):
+    ds_index, sample_seed = args
+    rng = np.random.default_rng(sample_seed)
+    return _WORKER_DS.__getitem__(int(ds_index), rng)
+
+
+def _make_process_pool(dataset, num_workers: int):
+    import multiprocessing as mp
+    import os
+
+    saved = {}
+    for k in _ACCEL_ENV:
+        if k in os.environ:
+            saved[k] = os.environ.pop(k)
+    prev_jp = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # belt-and-braces: a child that does
+    # import jax must never dial the parent's chip
+    try:
+        ctx = mp.get_context("spawn")
+        return ctx.Pool(num_workers, initializer=_worker_init,
+                        initargs=(dataset,))
+    finally:
+        os.environ.update(saved)
+        if prev_jp is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = prev_jp
+
 
 def split_ids(
     n: int, has_val: bool, has_test: bool, test_remove: bool, seed: int = 42
@@ -63,6 +117,7 @@ class BatchLoader:
         seed: int = 0,
         num_workers: int = 8,
         indices: Optional[Sequence[int]] = None,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -76,7 +131,21 @@ class BatchLoader:
             else np.arange(len(dataset))
         )
         self.epoch = 0
-        self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode: {worker_mode!r}")
+        self.worker_mode = worker_mode
+        if worker_mode == "process":
+            self._pool = _make_process_pool(dataset, self.num_workers)
+        else:
+            self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def close(self):
+        """Shut the worker pool down (process pools hold OS resources)."""
+        if self.worker_mode == "process":
+            self._pool.terminate()
+            self._pool.join()
+        else:
+            self._pool.shutdown(wait=False)
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -100,7 +169,12 @@ class BatchLoader:
                 self.seed * 1_000_003 + self.epoch * 131_071 + int(i)
                 for i in chunk
             ]
-            samples = list(self._pool.map(self._load_one, chunk, seeds))
+            if self.worker_mode == "process":
+                samples = self._pool.map(
+                    _worker_load, [(int(i), s) for i, s in zip(chunk, seeds)]
+                )
+            else:
+                samples = list(self._pool.map(self._load_one, chunk, seeds))
             ims = [s[0] for s in samples]
             if len({im.shape[-1] for im in ims}) > 1:
                 # mixed gray(1ch-compact)/RGB sources in one batch: broadcast

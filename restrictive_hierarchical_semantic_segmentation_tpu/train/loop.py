@@ -84,6 +84,11 @@ class Trainer:
             tr_labs = [tr_labs[i] for i in tr_idx]
         loader_cls = BatchLoader
         loader_kw = dict(num_workers=cfg.num_workers)
+        if cfg.loader == "process":
+            # spawn-context OS worker processes with the accelerator env
+            # scrubbed (loader._make_process_pool) — the multi-core answer
+            # where cv2/OpenMP thread scaling tops out
+            loader_kw["worker_mode"] = "process"
         if cfg.loader == "grain":
             from ..data.grain_pipeline import GrainLoader, grain_available
 

@@ -198,3 +198,32 @@ def test_device_decode_roundtrip(default_tree):
     np.testing.assert_array_equal(np.asarray(yd), y8.astype(np.float32))
     for c in range(3):
         np.testing.assert_array_equal(np.asarray(xd[..., c]), x1[..., 0])
+
+
+def test_process_workers_bit_identical_to_threads(tmp_path, default_tree):
+    """worker_mode="process": spawn-context OS workers with the accelerator
+    env scrubbed (data/loader.py _make_process_pool) — the reference's
+    DataLoader num_workers counterpart (dataloaders.py:43-46). Per-sample
+    seeding is (seed, epoch, index)-derived on both paths, so process and
+    thread modes must produce bit-identical batches."""
+    write_synth_dataset(str(tmp_path), 4, size=80, seed=2)
+    import glob
+    imgs = sorted(glob.glob(str(tmp_path / "images" / "*")))
+    labs = sorted(glob.glob(str(tmp_path / "labels" / "*")))
+    ds = SegDataset(imgs, labs, default_tree, img_size=48,
+                    hierarchical=True, augment=True)
+    dl_t = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=5)
+    dl_p = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=5,
+                       num_workers=2, worker_mode="process")
+    try:
+        dl_t.set_epoch(1)
+        dl_p.set_epoch(1)
+        got_t = list(dl_t)
+        got_p = list(dl_p)
+        assert len(got_t) == len(got_p) == 2
+        for (xt, yt), (xp, yp) in zip(got_t, got_p):
+            np.testing.assert_array_equal(xt, xp)
+            np.testing.assert_array_equal(yt, yp)
+    finally:
+        dl_t.close()
+        dl_p.close()
