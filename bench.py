@@ -26,7 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="hrnet", choices=["hrnet", "unet"])
     ap.add_argument("--img", type=int, default=620)
-    ap.add_argument("--batch", type=int, default=4)
+    # batch 16 is the single-chip throughput-optimal point (BENCHMARKS.md:
+    # 0.450 s/step = 35.6 img/s vs 24.2 at the reference recipe's batch 4;
+    # fits HBM without remat). detail.global_batch records it.
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",

@@ -35,6 +35,10 @@ def get_args(argv=None):
                    help="eval forward batch size; scores stay per-image so "
                         "metrics are identical to the reference's batch=1 "
                         "(reference caps at 1, predictEval.py:222)")
+    p.add_argument("--quantize", type=str, default="False",
+                   help="int8 post-training quantization of the eval forward "
+                        "(calibrated on the first val batch; heads stay "
+                        "float; measured 1.27x at 620px — serving_bench.py)")
     return p.parse_args(argv)
 
 
@@ -53,6 +57,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         val_batch=args.val_batch,
+        quantize=_bool(args.quantize),
     )
     if _bool(args.inc_cross_val) and args.folds > 0:
         roots, weights = [], []

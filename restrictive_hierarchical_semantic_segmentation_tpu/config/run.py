@@ -39,6 +39,9 @@ class RunConfig:
     epochs: int = 200
     batch_size: int = 16
     val_batch: int = 1
+    # int8 post-training quantization for the offline-eval forward
+    # (train/quantize.py; measured 1.27x at 620px, tools/serving_bench.py)
+    quantize: bool = False
     lr: float = 1e-4
     lrs: bool = True                 # ReduceLROnPlateau on/off
     lrs_min: float = 1e-6

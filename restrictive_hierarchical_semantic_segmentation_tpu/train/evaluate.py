@@ -128,9 +128,26 @@ class Evaluator:
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
         self._need_outputs = self.save_images or not cfg.hierarchical
+        apply_fn = None
+        if cfg.quantize:
+            # int8 PTQ (train/quantize.py): calibrate activation scales on
+            # the first validation batch, then run every covered conv on the
+            # MXU int8 path (heads stay float). Measured 1.27x at 620px with
+            # 99.7% argmax agreement — tools/serving_bench.py.
+            from .quantize import calibrate, quantized_apply
+            from .steps import _device_decode
+
+            xb, yb = next(iter(self.loader))
+            xc = np.asarray(jax.device_get(_device_decode(
+                jnp.asarray(xb), jnp.asarray(yb))[0]), np.float32)
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            scales = calibrate(self.model.apply, variables, [xc], train=False)
+            apply_fn = quantized_apply(self.model.apply, scales)
         self.eval_step = make_eval_step(
             self.model, tree, cfg.hierarchical,
             return_outputs=self._need_outputs, per_image_metrics=True,
+            apply_fn=apply_fn,
         )
 
     def run(self) -> dict:

@@ -26,8 +26,17 @@ __all__ = ["Predictor"]
 
 
 class Predictor:
+    """``quantize=True`` enables int8 post-training quantization of the conv
+    stack (train/quantize.py): per-tensor activation scales calibrated from
+    ``calib_batches`` (normalized images, same layout as ``__call__``),
+    per-channel weight scales, int8 MXU convs with a float dequant epilogue.
+    Per-level heads stay float (their logits feed the gated-softmax
+    composition). Measured: tools/serving_bench.py."""
+
     def __init__(self, cfg: RunConfig, weights_path: str,
-                 tree: Optional[ClassTree] = None):
+                 tree: Optional[ClassTree] = None,
+                 quantize: bool = False,
+                 calib_batches: Optional[List[np.ndarray]] = None):
         from ..utils.compile_cache import enable
 
         enable()
@@ -64,11 +73,29 @@ class Predictor:
         variables = {"params": params, "batch_stats": bstats}
         model = self.model
 
+        apply_fn = model.apply
+        if quantize:
+            from .quantize import calibrate, quantized_apply
+
+            if not calib_batches:
+                # no calibration data given: fall back to a uniform batch in
+                # the training normalization range (-1, 1). Real inputs give
+                # tighter activation scales — pass them when available.
+                calib_batches = [np.random.default_rng(0).uniform(
+                    -1.0, 1.0, sample.shape).astype(np.float32)]
+            scales = calibrate(
+                model.apply, variables,
+                [np.asarray(b, np.float32) for b in calib_batches],
+                train=False,
+            )
+            apply_fn = quantized_apply(model.apply, scales)
+            self.act_scales = scales
+
         # Bake weights as constants -> XLA folds BN into convs and prunes
         # the training-only graph.
         @jax.jit
         def _fn(x):
-            out = model.apply(variables, x, train=False)
+            out = apply_fn(variables, x, train=False)
             scores = out.logits_per_level
             import jax.numpy as jnp
 

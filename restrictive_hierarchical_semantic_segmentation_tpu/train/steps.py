@@ -176,6 +176,7 @@ def make_eval_step(
     ohem=None,
     return_outputs: bool = False,
     per_image_metrics: bool = False,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable:
     """Jitted ``eval_step(params, batch_stats, images, targets) ->
     {loss, per_level, confmats[, outputs]}`` (reference ``test``,
@@ -183,11 +184,15 @@ def make_eval_step(
 
     ``per_image_metrics=True`` makes confmats (B, C', C') — required by the
     batched offline Evaluator to reproduce the reference's per-image scoring
-    (predictEval batch=1) while running the forward at batch > 1."""
+    (predictEval batch=1) while running the forward at batch > 1.
+
+    ``apply_fn``: optional replacement for ``model.apply`` with the same
+    signature (e.g. the int8-quantized wrapper from ``train/quantize.py``)."""
+    _apply = apply_fn or model.apply
 
     def step(params, batch_stats, images, targets):
         images, targets = _device_decode(images, targets)
-        out = model.apply(
+        out = _apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
         tgt = split_targets(tree, targets, hierarchical)

@@ -3,6 +3,7 @@ parity with torch, checkpoint round-trip, sharded multi-device execution."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 
 from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
@@ -195,3 +196,36 @@ def test_sharded_train_step_8_devices(default_tree):
     state3, aux2 = step(state_r, x, y, jnp.ones((2,), jnp.float32))
     np.testing.assert_allclose(float(aux["loss"]), float(aux2["loss"]),
                                rtol=2e-4)
+
+
+def test_adamw_matches_torch_trajectory():
+    """optax.adamw (train/state.py make_optimizer) vs torch.optim.AdamW with
+    the reference's settings (train.py:513-516, torch defaults): identical
+    5-step parameter trajectory on identical gradients. Together with
+    test_grad_parity.py this pins the full optimization step."""
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        make_optimizer,
+    )
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((7, 5)).astype(np.float32)
+    grads = [rng.standard_normal((7, 5)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.AdamW([tp], lr=0.018)  # torch defaults: wd=0.01
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = make_optimizer(0.018)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6)
