@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--tree", default="default", choices=["default", "extended"],
                     help="extended = the depth-4 tree (reference pays 4 "
                          "backbone passes; the shared pass pays one)")
+    ap.add_argument("--width", default="w48", choices=["w18", "w32", "w48"],
+                    help="HRNet width family (reference MODEL_CONFIGS)")
     args = ap.parse_args()
 
     import jax
@@ -85,10 +87,18 @@ def main():
         os.path.join(HERE, "assets", map_file),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    hrnet_cfg = None
+    if args.model == "hrnet" and args.width != "w48":
+        from restrictive_hierarchical_semantic_segmentation_tpu.config.hrnet import (
+            resolve_hrnet_config,
+        )
+
+        hrnet_cfg = resolve_hrnet_config(args.width)
     model = build_model(
         tree,
         model_select=1 if args.model == "hrnet" else 0,
         model_type=0 if args.flat else 1,
+        hrnet_config=hrnet_cfg,
         dtype=dtype,
         remat=args.remat or False,
         use_pallas_bn=args.pallas_bn,
@@ -170,6 +180,7 @@ def main():
 
     print(json.dumps({
         "metric": f"{'flat' if args.flat else 'hier'}_{args.model}"
+                  f"{'' if args.model != 'hrnet' or args.width == 'w48' else '_' + args.width}"
                   f"_{S}px_train_step_throughput",
         "value": round(ips_per_chip, 3),
         "unit": "images_per_sec_per_chip",
