@@ -47,6 +47,11 @@ def main():
                          "backbone passes; the shared pass pays one)")
     ap.add_argument("--width", default="w48", choices=["w18", "w32", "w48"],
                     help="HRNet width family (reference MODEL_CONFIGS)")
+    ap.add_argument("--folds", type=int, default=1,
+                    help=">1: fold-parallel mode — N independent model "
+                         "replicas (cross-val folds) trained in one "
+                         "shard_map/vmap step, fold axis over the mesh; "
+                         "value reports AGGREGATE images/sec/chip")
     args = ap.parse_args()
 
     import jax
@@ -146,28 +151,66 @@ def main():
     state, tx = create_train_state(
         model, jax.random.PRNGKey(0), x[:1], lr=0.018
     )
-    state = jax.device_put(state, replicated(mesh))
-    xd = jax.device_put(x, batch_sharding(mesh))
-    yd = jax.device_put(y, batch_sharding(mesh))
-    step = make_train_step(
-        model, tx, tree, hierarchical=not args.flat, level_weights=lw
-    )
+    if args.folds > 1:
+        # fold-parallel step (train/fold_parallel.py construction): fold axis
+        # manual over the mesh, data/space auto inside each fold group
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from restrictive_hierarchical_semantic_segmentation_tpu.parallel.mesh import (  # noqa: E501
+            DATA_AXIS, FOLD_AXIS, SPACE_AXIS, make_fold_mesh,
+        )
+
+        F = args.folds
+        mesh = make_fold_mesh(F, B)
+        state = jax.device_put(
+            jax.tree_util.tree_map(lambda l: jnp.stack([l] * F), state),
+            NamedSharding(mesh, P(FOLD_AXIS)),
+        )
+        fold_batch = NamedSharding(
+            mesh, P(FOLD_AXIS, DATA_AXIS, SPACE_AXIS, None, None))
+        xd = jax.device_put(np.stack([x] * F), fold_batch)
+        yd = jax.device_put(np.stack([y] * F), fold_batch)
+        raw = make_train_step(
+            model, tx, tree, hierarchical=not args.flat, level_weights=lw,
+            jit=False,
+        )
+        step = jax.jit(
+            jax.shard_map(
+                jax.vmap(raw, in_axes=(0, 0, 0, None)),
+                mesh=mesh,
+                in_specs=(P(FOLD_AXIS), P(FOLD_AXIS), P(FOLD_AXIS), P()),
+                out_specs=(P(FOLD_AXIS), P(FOLD_AXIS)),
+                axis_names=frozenset({FOLD_AXIS}),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+    else:
+        state = jax.device_put(state, replicated(mesh))
+        xd = jax.device_put(x, batch_sharding(mesh))
+        yd = jax.device_put(y, batch_sharding(mesh))
+        step = make_train_step(
+            model, tx, tree, hierarchical=not args.flat, level_weights=lw
+        )
     mask = jnp.ones((tree.num_levels if not args.flat else 1,), jnp.float32)
+
+    def fetch_loss(aux):
+        # NB: on this tunneled backend jax.block_until_ready() returns
+        # without draining the execution queue — the only reliable
+        # synchronization is an actual value fetch. The final loss depends
+        # (by dataflow) on every previous step's parameter update, so
+        # fetching it times the whole chain; the transfer is microseconds.
+        return float(np.asarray(jax.device_get(aux["loss"])).sum())
 
     for _ in range(args.warmup):
         state, aux = step(state, xd, yd, mask)
-    # NB: on this tunneled backend jax.block_until_ready() returns without
-    # draining the execution queue — the only reliable synchronization is an
-    # actual value fetch. The final loss depends (by dataflow) on every
-    # previous step's parameter update, so fetching it times the whole chain;
-    # the scalar transfer itself is microseconds.
-    float(aux["loss"])
+    fetch_loss(aux)
     t0 = time.time()
     for _ in range(args.steps):
         state, aux = step(state, xd, yd, mask)
-    float(aux["loss"])
+    loss_val = fetch_loss(aux)
     dt = (time.time() - t0) / args.steps
-    ips = B / dt
+    ips = B * args.folds / dt
     ips_per_chip = ips / max(1, n_chips)
 
     vs = None
@@ -181,16 +224,17 @@ def main():
     print(json.dumps({
         "metric": f"{'flat' if args.flat else 'hier'}_{args.model}"
                   f"{'' if args.model != 'hrnet' or args.width == 'w48' else '_' + args.width}"
+                  f"{'' if args.folds <= 1 else f'_folds{args.folds}'}"
                   f"_{S}px_train_step_throughput",
         "value": round(ips_per_chip, 3),
         "unit": "images_per_sec_per_chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "detail": {
             "sec_per_step": round(dt, 4),
-            "global_batch": B,
+            "global_batch": B * args.folds,
             "n_chips": n_chips,
             "dtype": args.dtype,
-            "loss": float(aux["loss"]),
+            "loss": loss_val,
         },
     }))
 

@@ -65,6 +65,11 @@ def get_args(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--n-space", type=int, default=1,
                    help="spatial-sharding mesh axis size")
+    p.add_argument("--fold-parallel", type=str, default="False",
+                   help="train all cross-val folds simultaneously as one "
+                        "vmapped program, fold axis sharded over the mesh "
+                        "(5-fold training in ~one fold's wall-clock on a "
+                        "v5e-8; the reference trains folds sequentially)")
     p.add_argument("--concat-prev-probs", type=str, default="False",
                    help="README-abstract image(+)probs conditioning variant")
     p.add_argument("--remat", type=str, default="False",
@@ -136,6 +141,7 @@ def config_from_args(args):
         save_images_batch_num=args.save_images_batch_num,
         profile_dir=args.profile_dir,
         n_space=args.n_space,
+        fold_parallel=_bool(args.fold_parallel),
         host_compact=_bool(args.host_compact),
         tensorboard=_bool(args.tensorboard),
         auto_resume=_bool(args.auto_resume),

@@ -75,6 +75,10 @@ class RunConfig:
 
     # parallelism
     n_space: int = 1                 # spatial-sharding mesh axis size
+    # train every cross-val fold simultaneously as ONE vmapped program with
+    # the fold axis sharded over the mesh (train/fold_parallel.py); the
+    # reference runs folds sequentially (train.py:546)
+    fold_parallel: bool = False
 
     @property
     def hierarchical(self) -> bool:

@@ -30,7 +30,8 @@ from .plateau import ReduceLROnPlateau
 from .state import create_train_state, set_learning_rate
 from .steps import make_eval_step, make_train_step
 
-__all__ = ["Trainer", "train", "list_pairs"]
+__all__ = ["Trainer", "train", "list_pairs", "make_loaders",
+           "run_validation", "append_csv", "truncate_csv"]
 
 CSV_HEADER = [
     "Epoch", "Train Loss", "Train Level Loss", "Train Accuracy", "Train IoU",
@@ -52,6 +53,110 @@ def list_pairs(root: str) -> Tuple[List[str], List[str]]:
     return imgs, labs
 
 
+def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
+                 val_root: Optional[str]):
+    """Build one fold's (train, val) loaders — shared by the sequential
+    ``Trainer`` and the fold-parallel trainer so both see identical batches."""
+    hier = cfg.hierarchical
+    tr_imgs, tr_labs = list_pairs(train_root)
+    if val_root:
+        va_imgs, va_labs = list_pairs(val_root)
+    else:
+        from ..data.loader import split_ids
+
+        tr_idx, _, va_idx = split_ids(len(tr_imgs), False, False, True)
+        va_imgs = [tr_imgs[i] for i in va_idx]
+        va_labs = [tr_labs[i] for i in va_idx]
+        tr_imgs = [tr_imgs[i] for i in tr_idx]
+        tr_labs = [tr_labs[i] for i in tr_idx]
+    loader_cls = BatchLoader
+    loader_kw = dict(num_workers=cfg.num_workers)
+    if cfg.loader == "process":
+        # spawn-context OS worker processes with the accelerator env
+        # scrubbed (loader._make_process_pool) — the multi-core answer
+        # where cv2/OpenMP thread scaling tops out
+        loader_kw["worker_mode"] = "process"
+    if cfg.loader == "grain":
+        from ..data.grain_pipeline import GrainLoader, grain_available
+
+        if grain_available():
+            loader_cls = GrainLoader
+            # in-process (0 workers): grain worker processes re-run this
+            # environment's TPU-claiming sitecustomize and crash; grain
+            # still provides determinism/sharding/epoch handling. Flip to
+            # process workers on standard multi-core hosts if needed.
+            loader_kw = dict(num_workers=0)
+    ds_kw = dict(
+        target_dtype=np.int8 if cfg.host_compact else np.float32,
+        emit_gray=cfg.host_compact,
+    )
+    train_loader = loader_cls(
+        SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier,
+                   augment=True, **ds_kw),
+        cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
+        **loader_kw,
+    )
+    val_loader = loader_cls(
+        SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
+                   augment=False, **ds_kw),
+        cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
+        **loader_kw,
+    )
+    return train_loader, val_loader
+
+
+def dump_prediction_images(outputs, save_loc: str, epoch: int):
+    """Per-class binary prediction PNGs (train.py:370-385)."""
+    import cv2
+
+    save_clss = 0
+    for lvl_out in outputs:
+        arr = np.asarray(lvl_out[0])  # first image in batch (H, W, C)
+        pred = np.argmax(arr, -1)
+        for c in range(arr.shape[-1]):
+            d = os.path.join(save_loc, "images", str(save_clss))
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(d, f"Epoch{epoch}.png"),
+                ((pred == c) * 255).astype(np.uint8),
+            )
+            save_clss += 1
+
+
+def run_validation(eval_step, params, batch_stats, val_loader, batch_shard,
+                   num_classes_per_level, val_batch: int, dump_fn=None):
+    """One validation pass (reference ``test``, train.py:283-393): aggregate
+    confusion-matrix metrics, per-level losses, and the ``perf_no_bg``
+    selection metric. ``dump_fn(outputs)`` is called once, on the first batch,
+    when the eval step returns raw outputs (prediction-PNG dumps)."""
+    acc = MetricAccumulator(num_classes_per_level)
+    losses, level_losses = [], np.zeros((len(num_classes_per_level),))
+    device_res = []
+    first = True
+    for x, y in prefetch_to_device(val_loader, 2, batch_shard):
+        res = eval_step(params, batch_stats, x, y)
+        if dump_fn is not None and first and "outputs" in res:
+            dump_fn(res["outputs"])
+            first = False
+        res.pop("outputs", None)  # don't haul full-res maps per batch
+        device_res.append(res)
+    # one host transfer after the last dispatch (see train_epoch note)
+    for res in jax.device_get(device_res):
+        losses.append(float(res["loss"]))
+        level_losses += np.asarray(res["per_level"])
+        acc.update([np.asarray(c) for c in res["confmats"]])
+    mean, std = acc.selection_metric()
+    denom = max(1, len(val_loader) * val_batch)
+    return {
+        "loss": losses[-1] if losses else 0.0,  # train.py:341 (last batch)
+        "level_loss": (level_losses / denom).tolist(),
+        "overall": acc.epoch_overall(),
+        "per_class": acc.epoch_per_class(),
+        "measure_mean": mean,
+        "measure_std": std,
+    }
+
+
 class Trainer:
     """One fold's build + epoch machinery."""
 
@@ -71,49 +176,8 @@ class Trainer:
         )
 
         # --- data -----------------------------------------------------------
-        tr_imgs, tr_labs = list_pairs(train_root)
-        if val_root:
-            va_imgs, va_labs = list_pairs(val_root)
-        else:
-            from ..data.loader import split_ids
-
-            tr_idx, _, va_idx = split_ids(len(tr_imgs), False, False, True)
-            va_imgs = [tr_imgs[i] for i in va_idx]
-            va_labs = [tr_labs[i] for i in va_idx]
-            tr_imgs = [tr_imgs[i] for i in tr_idx]
-            tr_labs = [tr_labs[i] for i in tr_idx]
-        loader_cls = BatchLoader
-        loader_kw = dict(num_workers=cfg.num_workers)
-        if cfg.loader == "process":
-            # spawn-context OS worker processes with the accelerator env
-            # scrubbed (loader._make_process_pool) — the multi-core answer
-            # where cv2/OpenMP thread scaling tops out
-            loader_kw["worker_mode"] = "process"
-        if cfg.loader == "grain":
-            from ..data.grain_pipeline import GrainLoader, grain_available
-
-            if grain_available():
-                loader_cls = GrainLoader
-                # in-process (0 workers): grain worker processes re-run this
-                # environment's TPU-claiming sitecustomize and crash; grain
-                # still provides determinism/sharding/epoch handling. Flip to
-                # process workers on standard multi-core hosts if needed.
-                loader_kw = dict(num_workers=0)
-        ds_kw = dict(
-            target_dtype=np.int8 if cfg.host_compact else np.float32,
-            emit_gray=cfg.host_compact,
-        )
-        self.train_loader = loader_cls(
-            SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier,
-                       augment=True, **ds_kw),
-            cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
-            **loader_kw,
-        )
-        self.val_loader = loader_cls(
-            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
-                       augment=False, **ds_kw),
-            cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
-            **loader_kw,
+        self.train_loader, self.val_loader = make_loaders(
+            cfg, tree, train_root, val_root
         )
 
         # --- mesh / model / state -------------------------------------------
@@ -259,50 +323,18 @@ class Trainer:
         }
 
     def evaluate(self, epoch: int, dump_images: bool = False):
-        acc = MetricAccumulator(self.num_classes_per_level)
-        losses, level_losses = [], np.zeros((self.n_levels,))
-        device_res = []
-        first = True
-        for x, y in prefetch_to_device(self.val_loader, 2,
-                                       self.eval_batch_shard):
-            res = self.eval_step(self.state.params, self.state.batch_stats, x, y)
-            if dump_images and first and "outputs" in res:
-                self._dump_images(res["outputs"], epoch)
-                first = False
-            res.pop("outputs", None)  # don't haul full-res maps per batch
-            device_res.append(res)
-        # one host transfer after the last dispatch (see train_epoch note)
-        for res in jax.device_get(device_res):
-            losses.append(float(res["loss"]))
-            level_losses += np.asarray(res["per_level"])
-            acc.update([np.asarray(c) for c in res["confmats"]])
-        mean, std = acc.selection_metric()
-        denom = max(1, len(self.val_loader) * self.cfg.val_batch)
-        return {
-            "loss": losses[-1] if losses else 0.0,  # train.py:341 (last batch)
-            "level_loss": (level_losses / denom).tolist(),
-            "overall": acc.epoch_overall(),
-            "per_class": acc.epoch_per_class(),
-            "measure_mean": mean,
-            "measure_std": std,
-        }
+        dump_fn = (
+            (lambda outputs: self._dump_images(outputs, epoch))
+            if dump_images else None
+        )
+        return run_validation(
+            self.eval_step, self.state.params, self.state.batch_stats,
+            self.val_loader, self.eval_batch_shard,
+            self.num_classes_per_level, self.cfg.val_batch, dump_fn=dump_fn,
+        )
 
     def _dump_images(self, outputs, epoch: int):
-        """Per-class binary prediction PNGs (train.py:370-385)."""
-        import cv2
-
-        save_clss = 0
-        for lvl_out in outputs:
-            arr = np.asarray(lvl_out[0])  # first image in batch (H, W, C)
-            pred = np.argmax(arr, -1)
-            for c in range(arr.shape[-1]):
-                d = os.path.join(self.save_loc, "images", str(save_clss))
-                os.makedirs(d, exist_ok=True)
-                cv2.imwrite(
-                    os.path.join(d, f"Epoch{epoch}.png"),
-                    ((pred == c) * 255).astype(np.uint8),
-                )
-                save_clss += 1
+        dump_prediction_images(outputs, self.save_loc, epoch)
 
     def run(self):
         cfg = self.cfg
@@ -358,29 +390,40 @@ class Trainer:
         return self.ckpt.prev_best
 
     def _truncate_csv(self, path, start_epoch: int):
-        with open(path, newline="") as f:
-            rows = list(csv.reader(f))
-        kept = [r for i, r in enumerate(rows)
-                if i == 0 or (r and r[0].isdigit() and int(r[0]) < start_epoch)]
-        with open(path, "w", newline="") as f:
-            csv.writer(f).writerows(kept)
+        truncate_csv(path, start_epoch)
 
     def _append_csv(self, path, epoch, tr, va):
-        new = not os.path.exists(path)
-        with open(path, "a", newline="") as f:
-            w = csv.writer(f)
-            if new:
-                w.writerow(CSV_HEADER)
-            w.writerow([
-                epoch, tr["loss"], tr["level_loss"], tr["overall"]["accuracy"],
-                tr["overall"]["iou"], tr["overall"]["dice"],
-                tr["overall"]["precision"], tr["overall"]["recall"],
-                tr["per_class"], va["loss"], va["level_loss"],
-                va["overall"]["accuracy"], va["overall"]["iou"],
-                va["overall"]["dice"], va["overall"]["precision"],
-                va["overall"]["recall"], va["measure_mean"], va["measure_std"],
-                va["per_class"],
-            ])
+        append_csv(path, epoch, tr, va)
+
+
+def truncate_csv(path, start_epoch: int):
+    """Resume: keep rows below ``start_epoch`` (drop rows a crashed run wrote
+    beyond the checkpoint)."""
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    kept = [r for i, r in enumerate(rows)
+            if i == 0 or (r and r[0].isdigit() and int(r[0]) < start_epoch)]
+    with open(path, "w", newline="") as f:
+        csv.writer(f).writerows(kept)
+
+
+def append_csv(path, epoch, tr, va):
+    """One reference-layout metrics.csv row (train.py:634-642)."""
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(CSV_HEADER)
+        w.writerow([
+            epoch, tr["loss"], tr["level_loss"], tr["overall"]["accuracy"],
+            tr["overall"]["iou"], tr["overall"]["dice"],
+            tr["overall"]["precision"], tr["overall"]["recall"],
+            tr["per_class"], va["loss"], va["level_loss"],
+            va["overall"]["accuracy"], va["overall"]["iou"],
+            va["overall"]["dice"], va["overall"]["precision"],
+            va["overall"]["recall"], va["measure_mean"], va["measure_std"],
+            va["per_class"],
+        ])
 
 
 def train(cfg: RunConfig) -> List[Optional[float]]:
@@ -391,6 +434,11 @@ def train(cfg: RunConfig) -> List[Optional[float]]:
     results = []
     folds = cfg.folds if cfg.inc_cross_val and cfg.folds > 0 else 1
     fold_ids = [cfg.fold] if cfg.fold > 0 else list(range(1, folds + 1))
+    if cfg.fold_parallel and len(fold_ids) > 1:
+        # all folds as ONE vmapped program, fold axis sharded over the mesh
+        from .fold_parallel import train_folds_parallel
+
+        return train_folds_parallel(cfg, tree, fold_ids)
     for fold in fold_ids:
         if cfg.inc_cross_val and cfg.folds > 0:
             train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")

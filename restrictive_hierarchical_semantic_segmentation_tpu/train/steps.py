@@ -99,6 +99,7 @@ def make_train_step(
     ohem=None,
     compute_metrics: bool = True,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Returns jitted ``step(state, images, targets, level_mask) ->
     (state, aux)`` with aux = {loss, per_level, confmats}.
@@ -161,6 +162,10 @@ def make_train_step(
             )
         return new_state, aux
 
+    if not jit:
+        # raw step for composition under transforms (fold_parallel vmaps it
+        # over a stacked fold axis before jitting)
+        return step
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
