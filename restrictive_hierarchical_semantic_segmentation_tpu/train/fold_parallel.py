@@ -86,6 +86,16 @@ class FoldParallelTrainer:
             self.val_loaders.append(va)
 
         # --- mesh / model / stacked state -----------------------------------
+        if cfg.n_space > 1:
+            # composing the manual fold axis with spatial sharding trips an
+            # XLA GSPMD CHECK failure (PartitionGather /
+            # ExpandDeviceGroupsWithIota) in this jax/XLA version; fold
+            # parallelism composes with data parallelism only
+            raise ValueError(
+                "--fold-parallel does not compose with --n-space > 1 "
+                "(XLA partial-manual partitioner limitation); use "
+                "sequential folds (--fold N) for spatially-sharded runs"
+            )
         self.mesh = make_fold_mesh(F, cfg.batch_size, cfg.n_space)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None

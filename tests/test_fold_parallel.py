@@ -230,3 +230,11 @@ class TestFoldParallelTraining:
                    model_weights="some/dir/last.ckpt")
         with pytest.raises(ValueError, match="auto-resume"):
             train(cfg)
+
+    def test_rejects_space_sharding(self, two_fold_data, tmp_path):
+        # fold (manual) x space sharding trips an XLA GSPMD CHECK failure in
+        # this jax/XLA version — must refuse loudly, not crash the compiler
+        cfg = _cfg(two_fold_data, str(tmp_path / "y"), fold_parallel=True,
+                   n_space=2)
+        with pytest.raises(ValueError, match="n-space"):
+            train(cfg)
