@@ -109,8 +109,20 @@ def main():
         use_pallas_bn=args.pallas_bn,
     )
     n_chips = len(jax.devices())
-    mesh = make_mesh()  # all chips on the data axis
-    B = args.batch * max(1, n_chips)
+    if args.folds > 1:
+        # per-chip batch must stay at args.batch: each fold group only gets
+        # n_chips/F chips, so the per-fold global batch scales with the fold
+        # group's data x space extent, not the whole machine
+        from restrictive_hierarchical_semantic_segmentation_tpu.parallel.mesh import (  # noqa: E501
+            make_fold_mesh,
+        )
+
+        mesh = make_fold_mesh(args.folds, args.batch)
+        n_chips = mesh.devices.size  # idle chips don't count in per-chip rate
+        B = args.batch * mesh.devices.shape[1] * mesh.devices.shape[2]
+    else:
+        mesh = make_mesh()  # all chips on the data axis
+        B = args.batch * max(1, n_chips)
     S = args.img
 
     # realistic batches straight from the target factory (works for any tree
@@ -157,11 +169,10 @@ def main():
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from restrictive_hierarchical_semantic_segmentation_tpu.parallel.mesh import (  # noqa: E501
-            DATA_AXIS, FOLD_AXIS, SPACE_AXIS, make_fold_mesh,
+            DATA_AXIS, FOLD_AXIS, SPACE_AXIS,
         )
 
         F = args.folds
-        mesh = make_fold_mesh(F, B)
         state = jax.device_put(
             jax.tree_util.tree_map(lambda l: jnp.stack([l] * F), state),
             NamedSharding(mesh, P(FOLD_AXIS)),
@@ -200,11 +211,14 @@ def main():
         # synchronization is an actual value fetch. The final loss depends
         # (by dataflow) on every previous step's parameter update, so
         # fetching it times the whole chain; the transfer is microseconds.
-        return float(np.asarray(jax.device_get(aux["loss"])).sum())
+        # Mean over folds keeps the field comparable to single-fold runs.
+        return float(np.asarray(jax.device_get(aux["loss"])).mean())
 
+    aux = None
     for _ in range(args.warmup):
         state, aux = step(state, xd, yd, mask)
-    fetch_loss(aux)
+    if aux is not None:
+        fetch_loss(aux)
     t0 = time.time()
     for _ in range(args.steps):
         state, aux = step(state, xd, yd, mask)

@@ -89,6 +89,10 @@ def make_fold_mesh(
     avail = n_dev // (n_fold * n_space)
     n_data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
     use = n_fold * n_data * n_space
+    if use < n_dev:
+        print(f"make_fold_mesh: using {use} of {n_dev} devices "
+              f"(fold={n_fold} x data={n_data} x space={n_space}; "
+              f"{n_dev - use} idle — fold/batch divisibility)")
     arr = np.asarray(devices[:use]).reshape(n_fold, n_data, n_space)
     return Mesh(arr, (FOLD_AXIS, DATA_AXIS, SPACE_AXIS))
 

@@ -15,9 +15,11 @@ and 5-fold training on a v5e-8 costs one fold's wall-clock.
 Per-fold host-side semantics are preserved exactly: each fold keeps its own
 ReduceLROnPlateau trajectory (the stacked optimizer carries a per-fold
 learning-rate vector through ``optax.inject_hyperparams``), its own
-best/last checkpoints, metrics.csv, and JSONL logs — byte-layout identical
-to the sequential ``Trainer``'s outputs, so downstream tooling
-(``cli.predict_eval``, ``cli.agreement``) is oblivious to how folds trained.
+best/last checkpoints and metrics.csv in the sequential ``Trainer``'s exact
+layout, so downstream tooling (``cli.predict_eval``, ``cli.agreement``) is
+oblivious to how folds trained. JSONL/TensorBoard logs add one key —
+``concurrent_folds`` — because ``sec_per_epoch`` there is the stacked
+epoch's wall clock shared by all folds.
 
 Epoch-length note: folds step in lockstep inside the one program, so an epoch
 runs ``min_f(len(loader_f))`` steps; if fold shard sizes differ the surplus
@@ -254,12 +256,16 @@ class FoldParallelTrainer:
         t0 = time.time()
         n = 0
         device_aux = []
-        for x, y in prefetch_to_device(
-            self._stacked_batches(epoch), 2, self.batch_shard
-        ):
-            self.state, aux = self.train_step(self.state, x, y, mask)
-            device_aux.append(aux)
-            n += 1
+        from ..utils.profiling import trace
+
+        profile = cfg.profile_dir if epoch == 2 else None
+        with trace(profile):
+            for x, y in prefetch_to_device(
+                self._stacked_batches(epoch), 2, self.batch_shard
+            ):
+                self.state, aux = self.train_step(self.state, x, y, mask)
+                device_aux.append(aux)
+                n += 1
         all_aux = jax.device_get(device_aux)
         dt = time.time() - t0
 
@@ -342,10 +348,14 @@ class FoldParallelTrainer:
                     f"iou {va['overall']['iou']:.4f} lr {lr_f:.5f}",
                     flush=True,
                 )
+                # sec_per_epoch is the WALL clock of the stacked epoch (all
+                # folds trained concurrently in it); concurrent_folds lets
+                # tooling normalize against sequential-Trainer logs
                 loggers[f].log(epoch, {
                     "loss": tr["loss"], "dice": tr["overall"]["dice"],
                     "iou": tr["overall"]["iou"],
-                    "sec_per_epoch": tr["time"], "lr": lr_f,
+                    "sec_per_epoch": tr["time"], "concurrent_folds": F,
+                    "lr": lr_f,
                 }, prefix="train")
                 loggers[f].log(epoch, {
                     "loss": va["loss"], "dice_no_bg": va["measure_mean"],

@@ -148,10 +148,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    cache = os.path.join(HERE, ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from restrictive_hierarchical_semantic_segmentation_tpu.utils.compile_cache import (  # noqa: E501
+        enable as enable_compile_cache,
+    )
+
+    enable_compile_cache()
 
     from restrictive_hierarchical_semantic_segmentation_tpu.hierarchy.tree import (  # noqa: E501
         ClassTree,
@@ -190,7 +191,6 @@ def main():
     ops = parse_matmul_ops(hlo)
 
     t_mm, mm_flops, mm_bytes = 0.0, 0.0, 0.0
-    t_mm_peak = 0.0
     eff_hist = {}
     for op in ops:
         peak = PEAK_BF16 if op["dtype"] == "bf16" else PEAK_F32
@@ -198,7 +198,6 @@ def main():
         t_c = op["flops"] / (peak * eff)
         t_m = op["bytes"] / HBM_BW
         t_mm += max(t_c, t_m)
-        t_mm_peak += op["flops"] / PEAK_BF16
         mm_flops += op["flops"]
         mm_bytes += op["bytes"]
         key = f"N{op['N']}"
