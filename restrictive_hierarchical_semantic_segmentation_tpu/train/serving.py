@@ -8,11 +8,17 @@ provides a production inference primitive:
   dead-code-eliminates everything training-only;
 * one jitted function per (batch, height, width) signature, cached;
 * returns composed per-level probabilities plus argmaxed class maps with the
-  reference's -1-free eval conventions.
+  reference's -1-free eval conventions;
+* **fold ensembling**: pass a list of checkpoints (one per cross-val fold)
+  and the forward vmaps over the stacked fold weights in ONE program,
+  averaging the composed per-level probabilities — the serving counterpart
+  of fold-parallel training (the reference deploys single folds only).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+import glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
@@ -31,9 +37,30 @@ class Predictor:
     ``calib_batches`` (normalized images, same layout as ``__call__``),
     per-channel weight scales, int8 MXU convs with a float dequant epilogue.
     Per-level heads stay float (their logits feed the gated-softmax
-    composition). Measured: tools/serving_bench.py."""
+    composition). Measured: tools/serving_bench.py.
 
-    def __init__(self, cfg: RunConfig, weights_path: str,
+    ``weights_path`` may be a sequence of checkpoint paths for a fold
+    ensemble (see ``fold_checkpoints``); ensemble outputs are the fold-mean
+    composed probabilities and their argmax class maps (``logits`` is None —
+    averaging logits across independently-trained folds has no probabilistic
+    meaning). Ensembling composes with everything except ``quantize``
+    (per-fold activation scales would need per-fold closures)."""
+
+    @staticmethod
+    def fold_checkpoints(run_dir: str, which: str = "best") -> List[str]:
+        """``<run_dir>/fold_N/{best|last}.ckpt`` in fold order (the layout
+        both trainers write; reference train.py:666-709 equivalent)."""
+        paths = sorted(
+            glob.glob(os.path.join(run_dir, "fold_*", f"{which}.ckpt")),
+            key=lambda p: int(p.split("fold_")[-1].split(os.sep)[0]),
+        )
+        if not paths:
+            raise FileNotFoundError(
+                f"no fold_*/{which}.ckpt under {run_dir}")
+        return paths
+
+    def __init__(self, cfg: RunConfig,
+                 weights_path: Union[str, Sequence[str]],
                  tree: Optional[ClassTree] = None,
                  quantize: bool = False,
                  calib_batches: Optional[List[np.ndarray]] = None):
@@ -59,18 +86,29 @@ class Predictor:
         state, _ = create_train_state(
             self.model, jax.random.PRNGKey(0), sample, lr=0.0
         )
-        if weights_path.endswith((".pt", ".pth")):
-            from .torch_import import load_donor_weights
 
-            params, bstats = load_donor_weights(
-                weights_path, state.params, state.batch_stats, cfg.model_select
-            )
-        else:
-            from .checkpoint import load_checkpoint
+        def _load(path):
+            if path.endswith((".pt", ".pth")):
+                from .torch_import import load_donor_weights
 
-            state, _ = load_checkpoint(weights_path, state)
-            params, bstats = state.params, state.batch_stats
-        variables = {"params": params, "batch_stats": bstats}
+                params, bstats = load_donor_weights(
+                    path, state.params, state.batch_stats, cfg.model_select
+                )
+            else:
+                from .checkpoint import load_checkpoint
+
+                st, _ = load_checkpoint(path, state)
+                params, bstats = st.params, st.batch_stats
+            return {"params": params, "batch_stats": bstats}
+
+        paths = ([weights_path] if isinstance(weights_path, str)
+                 else list(weights_path))
+        if quantize and len(paths) > 1:
+            raise ValueError("quantize=True does not compose with a fold "
+                             "ensemble (per-fold activation scales); "
+                             "quantize single-fold predictors instead")
+        all_variables = [_load(p) for p in paths]
+        variables = all_variables[0]
         model = self.model
 
         apply_fn = model.apply
@@ -93,19 +131,45 @@ class Predictor:
 
         # Bake weights as constants -> XLA folds BN into convs and prunes
         # the training-only graph.
-        @jax.jit
-        def _fn(x):
-            out = apply_fn(variables, x, train=False)
-            scores = out.logits_per_level
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            class_maps = [jnp.argmax(z, -1).astype(jnp.int32) for z in scores]
-            probs = out.probs_per_level
-            return {
-                "logits": list(scores),
-                "probs": list(probs) if probs is not None else None,
-                "class_maps": class_maps,
-            }
+        if len(paths) == 1:
+            @jax.jit
+            def _fn(x):
+                out = apply_fn(variables, x, train=False)
+                scores = out.logits_per_level
+                class_maps = [jnp.argmax(z, -1).astype(jnp.int32)
+                              for z in scores]
+                probs = out.probs_per_level
+                return {
+                    "logits": list(scores),
+                    "probs": list(probs) if probs is not None else None,
+                    "class_maps": class_maps,
+                }
+        else:
+            stacked = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls), *all_variables
+            )
+
+            @jax.jit
+            def _fn(x):
+                def one(v):
+                    out = apply_fn(v, x, train=False)
+                    probs = out.probs_per_level
+                    if probs is None:  # flat model: ensemble in prob space
+                        probs = [jax.nn.softmax(z, -1)
+                                 for z in out.logits_per_level]
+                    return tuple(probs)
+
+                fold_probs = jax.vmap(one)(stacked)  # each (F, B, H, W, C)
+                probs = [p.mean(0) for p in fold_probs]
+                class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
+                              for p in probs]
+                return {
+                    "logits": None,
+                    "probs": probs,
+                    "class_maps": class_maps,
+                }
 
         self._fn = _fn
 

@@ -68,3 +68,70 @@ def test_predictor_roundtrip(tmp_path, assets_dir, default_tree, monkeypatch):
         out["class_maps"][1],
         np.argmax(np.asarray(direct.logits_per_level[1]), -1),
     )
+
+
+def test_fold_ensemble_predictor(tmp_path, assets_dir, default_tree,
+                                 monkeypatch):
+    """Ensemble = fold-mean of composed probabilities, one vmapped program."""
+    import jax
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.serving import (
+        Predictor,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    small_model = H.HierarchicalSegmenter(
+        tree=default_tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.serving."
+        "build_model",
+        lambda *a, **k: small_model,
+    )
+    x = np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg = RunConfig(tree_root=str(assets_dir / "class_tree_tl.json"),
+                    class_map=str(assets_dir / "class_map.csv"),
+                    model_select=0, model_type=1, img_size=32)
+
+    # two "folds" with different weights, in the run-dir layout
+    ckpts = []
+    for fold, seed in ((1, 0), (2, 7)):
+        state, _ = create_train_state(
+            small_model, jax.random.PRNGKey(seed), x[:1], 0.0)
+        d = tmp_path / f"fold_{fold}"
+        d.mkdir()
+        p = str(d / "best.ckpt")
+        save_checkpoint(p, state, epoch=1, loss=0.0, test_measure_mean=0.5,
+                        test_measure_std=0.0)
+        ckpts.append(p)
+
+    assert Predictor.fold_checkpoints(str(tmp_path)) == ckpts
+
+    ens = Predictor(cfg, ckpts, tree=default_tree)
+    out = ens(x)
+    assert out["logits"] is None
+    assert out["class_maps"][0].shape == (2, 32, 32)
+
+    # fold-mean of the single-fold predictors' probs, exactly
+    singles = [Predictor(cfg, p, tree=default_tree)(x) for p in ckpts]
+    for lvl in range(2):
+        mean = np.mean([s["probs"][lvl] for s in singles], axis=0)
+        np.testing.assert_allclose(out["probs"][lvl], mean,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(out["class_maps"][lvl],
+                                      np.argmax(mean, -1))
+
+    # quantize + ensemble is refused loudly
+    with pytest.raises(ValueError, match="ensemble"):
+        Predictor(cfg, ckpts, tree=default_tree, quantize=True)
