@@ -107,6 +107,7 @@ class TestFoldParallelTraining:
         """The rigorous statement: one fold-parallel train step == the
         sequential Trainer's step, per fold, on identical batches (same math,
         different scheduling). Tight tolerance — only reduction-order noise."""
+        import jax
         import jax.numpy as jnp
 
         from restrictive_hierarchical_semantic_segmentation_tpu.hierarchy.tree import (  # noqa: E501
@@ -122,14 +123,12 @@ class TestFoldParallelTraining:
         cfg = _cfg(two_fold_data, str(tmp_path / "sp"))
         tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
         fp = FoldParallelTrainer(cfg, tree, [1, 2])
-        params0 = __import__("jax").device_get(
-            __import__("jax").tree_util.tree_map(
-                lambda l: l[0], fp.state.params))
+        params0 = jax.device_get(
+            jax.tree_util.tree_map(lambda l: l[0], fp.state.params))
         x, y = next(fp._stacked_batches(1))
         mask = jnp.ones((fp.n_levels,), jnp.float32)
         new_stack, aux_stack = fp.train_step(fp.state, x, y, mask)
-        new_stack, aux_stack = __import__("jax").device_get(
-            (new_stack, aux_stack))
+        new_stack, aux_stack = jax.device_get((new_stack, aux_stack))
 
         for f, fold in enumerate((1, 2)):
             seq = Trainer(
@@ -143,7 +142,7 @@ class TestFoldParallelTraining:
             # identical loaders/seeds => identical batches
             np.testing.assert_array_equal(np.asarray(x)[f], xs)
             np.testing.assert_array_equal(np.asarray(y)[f], ys)
-            new_seq, aux_seq = __import__("jax").device_get(
+            new_seq, aux_seq = jax.device_get(
                 seq.train_step(seq.state, xs, ys, mask))
             np.testing.assert_allclose(
                 float(np.asarray(aux_stack["loss"])[f]),
@@ -151,13 +150,11 @@ class TestFoldParallelTraining:
             np.testing.assert_allclose(
                 np.asarray(aux_stack["per_level"])[f],
                 np.asarray(aux_seq["per_level"]), rtol=1e-4, atol=1e-6)
-            import jax as _jax
-
             # BN batch stats: pure batch means/vars — deterministic up to
             # reduction order, no AdamW sign amplification
             for sp, ss in zip(
-                _jax.tree_util.tree_leaves(new_stack.batch_stats),
-                _jax.tree_util.tree_leaves(new_seq.batch_stats),
+                jax.tree_util.tree_leaves(new_stack.batch_stats),
+                jax.tree_util.tree_leaves(new_seq.batch_stats),
             ):
                 np.testing.assert_allclose(
                     np.asarray(sp)[f], np.asarray(ss), rtol=1e-4, atol=1e-6)
@@ -165,9 +162,9 @@ class TestFoldParallelTraining:
             # with |grad| ~ 0 (symmetric untrained net) amplify reduction-
             # order noise to a full +-lr flip. Compare the significant
             # updates (|update| > lr/2), require near-total agreement.
-            leaves_p = _jax.tree_util.tree_leaves(new_stack.params)
-            leaves_s = _jax.tree_util.tree_leaves(new_seq.params)
-            leaves_0 = _jax.tree_util.tree_leaves(params0)
+            leaves_p = jax.tree_util.tree_leaves(new_stack.params)
+            leaves_s = jax.tree_util.tree_leaves(new_seq.params)
+            leaves_0 = jax.tree_util.tree_leaves(params0)
             assert len(leaves_p) == len(leaves_s) == len(leaves_0)
             n_sig, n_bad = 0, 0
             for lp, ls, l0 in zip(leaves_p, leaves_s, leaves_0):
