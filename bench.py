@@ -47,6 +47,9 @@ def main():
                          "backbone passes; the shared pass pays one)")
     ap.add_argument("--width", default="w48", choices=["w18", "w32", "w48"],
                     help="HRNet width family (reference MODEL_CONFIGS)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help=">1: one optimizer step from N microbatches "
+                         "(peak memory of one microbatch)")
     ap.add_argument("--folds", type=int, default=1,
                     help=">1: fold-parallel mode — N independent model "
                          "replicas (cross-val folds) trained in one "
@@ -183,7 +186,7 @@ def main():
         yd = jax.device_put(np.stack([y] * F), fold_batch)
         raw = make_train_step(
             model, tx, tree, hierarchical=not args.flat, level_weights=lw,
-            jit=False,
+            jit=False, grad_accum=args.grad_accum,
         )
         step = jax.jit(
             jax.shard_map(
@@ -201,7 +204,8 @@ def main():
         xd = jax.device_put(x, batch_sharding(mesh))
         yd = jax.device_put(y, batch_sharding(mesh))
         step = make_train_step(
-            model, tx, tree, hierarchical=not args.flat, level_weights=lw
+            model, tx, tree, hierarchical=not args.flat, level_weights=lw,
+            grad_accum=args.grad_accum,
         )
     mask = jnp.ones((tree.num_levels if not args.flat else 1,), jnp.float32)
 

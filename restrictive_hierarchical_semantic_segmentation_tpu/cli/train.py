@@ -76,6 +76,10 @@ def get_args(argv=None):
                    # "false" | "true"/"module" (full per-module recompute) |
                    # "conv" (save conv outputs only — lighter memory knob)
                    help="rematerialize backbone re-runs (memory for FLOPs)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help=">1: accumulate gradients over N microbatches per "
+                        "optimizer step (peak memory of one microbatch; "
+                        "cheaper large-batch knob than --remat)")
     p.add_argument("--lambda-cons", type=float, default=1.0)
     p.add_argument("--lambda-kl", type=float, default=0.0)
     p.add_argument("--use-ohem", type=str, default="False")
@@ -125,6 +129,7 @@ def config_from_args(args):
         lrs_min=args.lrs_min,
         level_weights=lw,
         level0_pretrain_epochs=args.level0_pretrain_epochs,
+        grad_accum=args.grad_accum,
         lambda_cons=args.lambda_cons,
         lambda_kl=args.lambda_kl,
         use_ohem=_bool(args.use_ohem),

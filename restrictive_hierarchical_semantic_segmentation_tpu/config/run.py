@@ -53,6 +53,10 @@ class RunConfig:
     ohem_thres: float = 0.9          # config/default.py:49 OHEMTHRES
     ohem_keep: int = 100000          # config/default.py:50 OHEMKEEP
     weight_decay: float = 0.01
+    # >1: one optimizer step from N sequential microbatches (lax.scan) —
+    # peak activation memory of ONE microbatch; the cheaper large-batch
+    # knob vs --remat (train/steps.py accum_step, BENCHMARKS.md)
+    grad_accum: int = 1
 
     # data
     loader: str = "threads"          # "threads" | "process" (spawn workers) | "grain"

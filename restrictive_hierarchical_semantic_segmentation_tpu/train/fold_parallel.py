@@ -155,6 +155,7 @@ class FoldParallelTrainer:
         raw_step = make_train_step(
             self.model, self.tx, tree, hier, lw, cfg.lambda_cons,
             cfg.lambda_kl, ohem=ohem, jit=False,
+            grad_accum=cfg.grad_accum,
         )
         # fold axis is MANUAL (shard_map): each fold device group compiles the
         # plain per-fold step, so fold sharding never leaks into the channel

@@ -242,7 +242,7 @@ class Trainer:
         ohem = (cfg.ohem_thres, cfg.ohem_keep) if cfg.use_ohem else None
         self.train_step = make_train_step(
             self.model, self.tx, tree, hier, lw, cfg.lambda_cons,
-            cfg.lambda_kl, ohem=ohem,
+            cfg.lambda_kl, ohem=ohem, grad_accum=cfg.grad_accum,
         )
         self.eval_step = make_eval_step(
             self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from ..hierarchy.tree import ClassTree
 from ..losses.hierarchical import hierarchical_loss
@@ -100,6 +101,7 @@ def make_train_step(
     compute_metrics: bool = True,
     donate: bool = True,
     jit: bool = True,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns jitted ``step(state, images, targets, level_mask) ->
     (state, aux)`` with aux = {loss, per_level, confmats}.
@@ -139,28 +141,85 @@ def make_train_step(
         )
         return total, (updates["batch_stats"], per_level, out)
 
-    def step(state: TrainState, images, targets, level_mask):
+    def _micro_grads(params, batch_stats, images, targets, level_mask):
         (loss, (new_stats, per_level, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, targets, level_mask)
+        )(params, batch_stats, images, targets, level_mask)
+        confmats = None
+        if compute_metrics:
+            _, targets_f32 = _device_decode(images, targets)
+            tgt = split_targets(tree, targets_f32, hierarchical)
+            confmats = level_confusion_matrices(
+                _metric_outputs(out, hierarchical), tgt
+            )
+        return grads, new_stats, loss, per_level, confmats
+
+    def _apply_updates(state, grads, new_stats):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
-        new_state = state.replace(
+        return state.replace(
             params=params,
             batch_stats=new_stats,
             opt_state=opt_state,
             step=state.step + 1,
         )
+
+    def step(state: TrainState, images, targets, level_mask):
+        grads, new_stats, loss, per_level, confmats = _micro_grads(
+            state.params, state.batch_stats, images, targets, level_mask
+        )
         aux = {"loss": loss, "per_level": per_level}
-        if compute_metrics:
-            _, targets_f32 = _device_decode(images, targets)
-            tgt = split_targets(tree, targets_f32, hierarchical)
-            aux["confmats"] = level_confusion_matrices(
-                _metric_outputs(out, hierarchical), tgt
+        if confmats is not None:
+            aux["confmats"] = confmats
+        return _apply_updates(state, grads, new_stats), aux
+
+    def accum_step(state: TrainState, images, targets, level_mask):
+        """ONE optimizer step from ``grad_accum`` sequential microbatches
+        (lax.scan): gradients are the microbatch mean, BatchNorm batch
+        statistics and running-stat EMAs follow microbatch-sequential
+        semantics (each microbatch normalizes with its own statistics, as a
+        smaller-batch training run would), metric confusion matrices sum.
+        The standard grad-accumulation delta vs one big batch: per-microbatch
+        masked-loss denominators and BN statistics differ slightly.
+        Peak activation memory is that of ONE microbatch — a cheaper
+        large-batch knob than rematerialization (BENCHMARKS.md)."""
+        A = grad_accum
+        B = images.shape[0]
+        if B % A != 0:
+            raise ValueError(f"batch {B} not divisible by grad_accum {A}")
+        im = images.reshape((A, B // A) + images.shape[1:])
+        tg = targets.reshape((A, B // A) + targets.shape[1:])
+        gzero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+
+        def body(carry, xy):
+            bstats, gsum = carry
+            x_mb, y_mb = xy
+            grads, bstats, loss, per_level, confmats = _micro_grads(
+                state.params, bstats, x_mb, y_mb, level_mask
             )
-        return new_state, aux
+            gsum = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), gsum, grads
+            )
+            ys = (loss, per_level) + (
+                (tuple(confmats),) if confmats is not None else ()
+            )
+            return (bstats, gsum), ys
+
+        (new_stats, gsum), ys = jax.lax.scan(
+            body, (state.batch_stats, gzero), (im, tg)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / A, gsum)
+        aux = {"loss": ys[0].mean(), "per_level": ys[1].mean(axis=0)}
+        if compute_metrics:
+            aux["confmats"] = [c.sum(axis=0) for c in ys[2]]
+        return _apply_updates(state, grads, new_stats), aux
+
+    if grad_accum > 1:
+        step = accum_step
 
     if not jit:
         # raw step for composition under transforms (fold_parallel vmaps it
