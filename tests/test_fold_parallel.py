@@ -235,3 +235,14 @@ class TestFoldParallelTraining:
                    n_space=2)
         with pytest.raises(ValueError, match="n-space"):
             train(cfg)
+
+    def test_composes_with_grad_accum(self, two_fold_data, tmp_path):
+        # fold axis (shard_map) x microbatch scan (grad_accum) in one program
+        out = str(tmp_path / "ga")
+        train(_cfg(two_fold_data, out, fold_parallel=True, epochs=1,
+                   batch_size=4, grad_accum=2))
+        for fold in (1, 2):
+            rows = _read_csv_rows(
+                os.path.join(out, f"fold_{fold}", "metrics.csv"))
+            assert [r[0] for r in rows] == ["Epoch", "1"]
+            assert np.isfinite(float(rows[1][1]))
