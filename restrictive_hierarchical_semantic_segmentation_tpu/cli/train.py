@@ -95,6 +95,10 @@ def get_args(argv=None):
     p.add_argument("--host-compact", type=str, default="True",
                    help="int8 ternary targets + 1ch gray images decoded on "
                         "device (smaller host->device transfers)")
+    p.add_argument("--device-data", type=str, default="False",
+                   help="device-resident train set + on-device augmentation "
+                        "(zero host work per epoch; distributionally "
+                        "equivalent to the host pipeline)")
     return p.parse_args(argv)
 
 
@@ -148,6 +152,7 @@ def config_from_args(args):
         n_space=args.n_space,
         fold_parallel=_bool(args.fold_parallel),
         host_compact=_bool(args.host_compact),
+        device_data=_bool(args.device_data),
         tensorboard=_bool(args.tensorboard),
         auto_resume=_bool(args.auto_resume),
     )

@@ -65,6 +65,12 @@ class RunConfig:
     # images, decoded on device by the jitted steps (4x/3x smaller
     # host->device transfers; bit-identical values)
     host_compact: bool = True
+    # device-resident training set + on-device augmentation
+    # (data/device_augment.py): base images/masks upload once, every epoch's
+    # blur/jitter/flip/affine/ternary runs as one jitted program — zero host
+    # work per epoch. Distributionally equivalent to the host pipeline
+    # (not bit-exact at affine boundary pixels); validation stays host-side.
+    device_data: bool = False
     inc_cross_val: bool = True
     folds: int = 0
     fold: int = 0                    # >0: train ONLY this fold (fold-parallel)

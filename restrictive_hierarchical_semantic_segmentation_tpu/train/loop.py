@@ -69,6 +69,26 @@ def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
         va_labs = [tr_labs[i] for i in va_idx]
         tr_imgs = [tr_imgs[i] for i in tr_idx]
         tr_labs = [tr_labs[i] for i in tr_idx]
+    if cfg.device_data:
+        # device-resident training set + on-device augmentation: the host's
+        # per-epoch contribution is an integer permutation. Validation keeps
+        # the host pipeline (deterministic, reference-parity scoring).
+        from ..data.device_augment import DeviceDataset
+
+        train_loader = DeviceDataset(
+            tr_imgs, tr_labs, tree, cfg.img_size, hier,
+            batch_size=cfg.batch_size, seed=cfg.seed,
+        )
+        val_loader = BatchLoader(
+            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
+                       augment=False,
+                       target_dtype=np.int8 if cfg.host_compact
+                       else np.float32,
+                       emit_gray=cfg.host_compact),
+            cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
+            num_workers=cfg.num_workers,
+        )
+        return train_loader, val_loader
     loader_cls = BatchLoader
     loader_kw = dict(num_workers=cfg.num_workers)
     if cfg.loader == "process":
