@@ -246,8 +246,12 @@ class FoldParallelTrainer:
         its = [iter(ld) for ld in self.train_loaders]
         for _ in range(min(lens)):
             batches = [next(it) for it in its]
-            yield (np.stack([b[0] for b in batches]),
-                   np.stack([b[1] for b in batches]))
+            # device-data loaders yield device arrays — stack on device
+            # (jnp) instead of round-tripping through host numpy
+            stack = (jnp.stack if isinstance(batches[0][0], jax.Array)
+                     else np.stack)
+            yield (stack([b[0] for b in batches]),
+                   stack([b[1] for b in batches]))
 
     def train_epoch(self, epoch: int):
         cfg = self.cfg

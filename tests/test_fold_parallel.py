@@ -246,3 +246,14 @@ class TestFoldParallelTraining:
                 os.path.join(out, f"fold_{fold}", "metrics.csv"))
             assert [r[0] for r in rows] == ["Epoch", "1"]
             assert np.isfinite(float(rows[1][1]))
+
+    def test_composes_with_device_data(self, two_fold_data, tmp_path):
+        # device-resident augmentation per fold, fold stacking on device
+        out = str(tmp_path / "dd")
+        train(_cfg(two_fold_data, out, fold_parallel=True, epochs=1,
+                   device_data=True))
+        for fold in (1, 2):
+            rows = _read_csv_rows(
+                os.path.join(out, f"fold_{fold}", "metrics.csv"))
+            assert [r[0] for r in rows] == ["Epoch", "1"]
+            assert np.isfinite(float(rows[1][1]))
