@@ -183,3 +183,36 @@ class TestTrainerIntegration:
         losses = [float(r[1]) for r in rows[1:]]
         assert all(np.isfinite(losses))
         assert losses[1] < losses[0]  # it actually learns from device batches
+
+
+class TestRandomizedEquivalence:
+    def test_random_param_sweep(self, sample, default_tree):
+        """20 random draws across the full parameter space: the device and
+        host chains must agree on >95% of pixels in every draw (disagreement
+        is confined to nearest-rounding at affine boundaries)."""
+        img, y01 = sample
+        rng = np.random.default_rng(11)
+        worst_img, worst_tgt = 1.0, 1.0
+        for _ in range(20):
+            p = _params(
+                sigma=float(rng.uniform(0.001, 2.0)),
+                brightness=float(rng.uniform(0.6, 1.4)),
+                contrast=float(rng.uniform(0.5, 1.5)),
+                bc_order=bool(rng.uniform() > 0.5),
+                do_hflip=bool(rng.uniform() > 0.5),
+                angle=float(rng.uniform(-50, 50)),
+                tx=float(rng.uniform(-20, 20)),
+                ty=float(rng.uniform(-20, 20)),
+                scale=float(rng.uniform(0.85, 1.15)),
+                shear=float(rng.uniform(-5, 5)),
+            )
+            xh, yh = _host_chain(img, y01, p)
+            yh = np.asarray(ternary_encode(yh, default_tree))
+            xd, yd = augment_sample(
+                img, y01.astype(np.float32), p, default_tree, True)
+            img_agree = np.isclose(np.asarray(xd), xh, atol=2e-2).mean()
+            tgt_agree = (np.asarray(yd) == yh).mean()
+            worst_img = min(worst_img, img_agree)
+            worst_tgt = min(worst_tgt, tgt_agree)
+        assert worst_img > 0.95, f"worst image agreement {worst_img:.3%}"
+        assert worst_tgt > 0.95, f"worst target agreement {worst_tgt:.3%}"
