@@ -32,7 +32,6 @@ from ..hierarchy.tree import ClassTree
 __all__ = [
     "AugmentParams",
     "DeviceDataset",
-    "augment_batch",
     "load_base_arrays",
     "make_augment_fn",
     "sample_params",
@@ -225,10 +224,6 @@ def make_augment_fn(tree: ClassTree, hierarchical: bool):
     return jax.jit(fn)
 
 
-def augment_batch(key, images01, masks01, tree, hierarchical):
-    return make_augment_fn(tree, hierarchical)(key, images01, masks01)
-
-
 def load_base_arrays(input_paths: List[str], target_paths: List[str],
                      tree: ClassTree, img_size: int, hierarchical: bool
                      ) -> Tuple[np.ndarray, np.ndarray]:
@@ -243,6 +238,15 @@ def load_base_arrays(input_paths: List[str], target_paths: List[str],
     xs, ys = [], []
     for ip, tp in zip(input_paths, target_paths):
         x = decode_image_compact(ip).astype(np.float32) / 255.0
+        if x.ndim != 3 or x.shape[-1] != 1:
+            # the device chain implements the grayscale fast path only
+            # (radiographs; saturation/hue are exact no-ops there) — color
+            # sources must use the host pipeline, which jitters all 4 ops
+            raise ValueError(
+                f"--device-data supports grayscale sources only; {ip} "
+                f"decodes to shape {x.shape}. Use the host pipeline "
+                "(device_data=False) for color datasets."
+            )
         xs.append(T.resize_bilinear_np(x, (s, s)))
         mask = decode_mask(tp)
         y = (node_masks(mask, tree) if hierarchical
@@ -256,9 +260,16 @@ class DeviceDataset:
     """Device-resident train set + per-epoch batch iterator.
 
     Upload once; per epoch the host contributes only a shuffled permutation.
-    Each ``batches(epoch)`` item is ``(x, y)`` ALREADY on device, augmented
-    by one jitted program (gather + blur + jitter + flip + affine + ternary).
-    """
+    Each iterated item is ``(x, y)`` ALREADY on device, augmented by one
+    jitted program (gather + blur + jitter + flip + affine + ternary).
+
+    Placement: without an explicit ``sharding`` (or ``set_sharding``) the
+    base arrays and augmentation run on the default device; the consumer's
+    ``prefetch_to_device`` re-lays batches out for the training mesh. In
+    fold-parallel multi-device runs this funnels every fold's augmentation
+    through device 0 — fine on one chip (the measured config), a known
+    serialization on real multi-chip fold meshes (per-fold-group placement
+    via ``jax.make_array_from_single_device_arrays`` is the future fix)."""
 
     def __init__(self, input_paths, target_paths, tree: ClassTree,
                  img_size: int, hierarchical: bool, batch_size: int,
@@ -286,6 +297,11 @@ class DeviceDataset:
 
     def set_epoch(self, epoch: int):
         self._epoch = int(epoch)
+
+    def set_sharding(self, sharding):
+        """Lay augmented batches out for the training mesh at the source
+        (otherwise the consumer's prefetch re-puts them)."""
+        self._sharding = sharding
 
     def __iter__(self):
         import jax

@@ -69,26 +69,6 @@ def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
         va_labs = [tr_labs[i] for i in va_idx]
         tr_imgs = [tr_imgs[i] for i in tr_idx]
         tr_labs = [tr_labs[i] for i in tr_idx]
-    if cfg.device_data:
-        # device-resident training set + on-device augmentation: the host's
-        # per-epoch contribution is an integer permutation. Validation keeps
-        # the host pipeline (deterministic, reference-parity scoring).
-        from ..data.device_augment import DeviceDataset
-
-        train_loader = DeviceDataset(
-            tr_imgs, tr_labs, tree, cfg.img_size, hier,
-            batch_size=cfg.batch_size, seed=cfg.seed,
-        )
-        val_loader = BatchLoader(
-            SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
-                       augment=False,
-                       target_dtype=np.int8 if cfg.host_compact
-                       else np.float32,
-                       emit_gray=cfg.host_compact),
-            cfg.val_batch, shuffle=False, drop_last=False, seed=cfg.seed,
-            num_workers=cfg.num_workers,
-        )
-        return train_loader, val_loader
     loader_cls = BatchLoader
     loader_kw = dict(num_workers=cfg.num_workers)
     if cfg.loader == "process":
@@ -110,12 +90,24 @@ def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
         target_dtype=np.int8 if cfg.host_compact else np.float32,
         emit_gray=cfg.host_compact,
     )
-    train_loader = loader_cls(
-        SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier,
-                   augment=True, **ds_kw),
-        cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
-        **loader_kw,
-    )
+    if cfg.device_data:
+        # device-resident training set + on-device augmentation: the host's
+        # per-epoch contribution is an integer permutation. Validation keeps
+        # the host pipeline (deterministic, reference-parity scoring) with
+        # whatever loader backend cfg.loader selected above.
+        from ..data.device_augment import DeviceDataset
+
+        train_loader = DeviceDataset(
+            tr_imgs, tr_labs, tree, cfg.img_size, hier,
+            batch_size=cfg.batch_size, seed=cfg.seed,
+        )
+    else:
+        train_loader = loader_cls(
+            SegDataset(tr_imgs, tr_labs, tree, cfg.img_size, hier,
+                       augment=True, **ds_kw),
+            cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
+            **loader_kw,
+        )
     val_loader = loader_cls(
         SegDataset(va_imgs, va_labs, tree, cfg.img_size, hier,
                    augment=False, **ds_kw),
@@ -247,6 +239,10 @@ class Trainer:
                 print(f"Resumed from {cfg.model_weights}: {meta}")
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
+        if hasattr(self.train_loader, "set_sharding"):
+            # device-resident loader: emit batches already laid out for the
+            # training mesh (prefetch's device_put becomes a no-op)
+            self.train_loader.set_sharding(self.batch_shard)
         # eval batches (val_batch, often 1, ragged last batch) ride the SAME
         # mesh with the batch dim replicated over `data` — keeps one device
         # set, stays shape-flexible, still spatially sharded over `space`

@@ -50,13 +50,19 @@ class Predictor:
     def fold_checkpoints(run_dir: str, which: str = "best") -> List[str]:
         """``<run_dir>/fold_N/{best|last}.ckpt`` in fold order (the layout
         both trainers write; reference train.py:666-709 equivalent)."""
+        def fold_num(p):
+            suffix = p.split("fold_")[-1].split(os.sep)[0]
+            return int(suffix) if suffix.isdigit() else None
+
         paths = sorted(
-            glob.glob(os.path.join(run_dir, "fold_*", f"{which}.ckpt")),
-            key=lambda p: int(p.split("fold_")[-1].split(os.sep)[0]),
+            (p for p in glob.glob(
+                os.path.join(run_dir, "fold_*", f"{which}.ckpt"))
+             if fold_num(p) is not None),  # skip e.g. fold_avg/ dirs
+            key=fold_num,
         )
         if not paths:
             raise FileNotFoundError(
-                f"no fold_*/{which}.ckpt under {run_dir}")
+                f"no fold_<N>/{which}.ckpt under {run_dir}")
         return paths
 
     def __init__(self, cfg: RunConfig,
