@@ -76,6 +76,9 @@ def get_args(argv=None):
                    # "false" | "true"/"module" (full per-module recompute) |
                    # "conv" (save conv outputs only — lighter memory knob)
                    help="rematerialize backbone re-runs (memory for FLOPs)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="last.ckpt cadence in epochs (best always saves on "
+                        "improvement; final epoch always saves)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help=">1: accumulate gradients over N microbatches per "
                         "optimizer step (peak memory of one microbatch; "
@@ -133,6 +136,7 @@ def config_from_args(args):
         lrs_min=args.lrs_min,
         level_weights=lw,
         level0_pretrain_epochs=args.level0_pretrain_epochs,
+        ckpt_every=args.ckpt_every,
         grad_accum=args.grad_accum,
         lambda_cons=args.lambda_cons,
         lambda_kl=args.lambda_kl,

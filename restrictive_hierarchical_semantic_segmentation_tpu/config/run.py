@@ -53,6 +53,11 @@ class RunConfig:
     ohem_thres: float = 0.9          # config/default.py:49 OHEMTHRES
     ohem_keep: int = 100000          # config/default.py:50 OHEMKEEP
     weight_decay: float = 0.01
+    # last.ckpt save cadence in epochs (best.ckpt still saves on every
+    # improvement). >1 skips the device->host state fetch on non-improving
+    # off-cadence epochs — the dominant per-epoch cost on slow host links;
+    # the final epoch always saves. Resume granularity becomes N epochs.
+    ckpt_every: int = 1
     # >1: one optimizer step from N sequential microbatches (lax.scan) —
     # peak activation memory of ONE microbatch; the cheaper large-batch
     # knob vs --remat (train/steps.py accum_step, BENCHMARKS.md)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -57,11 +58,26 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
 
 
 class CheckpointManager:
-    """best.ckpt / last.ckpt pair with the reference's update policy."""
+    """best.ckpt / last.ckpt pair with the reference's update policy.
 
-    def __init__(self, save_dir: str):
+    ``async_save`` (default): ``update`` snapshots the state to host
+    synchronously (cheap, and safe against the train step's buffer
+    donation) and runs the expensive orbax serialization + two-phase rename
+    in a single background worker — a W48 save costs 6-11 s of disk/cpu
+    time (measured), which would otherwise dominate the 1-2 s device-bound
+    epochs of small-dataset runs. Ordering is preserved (one worker, each
+    ``update`` waits for the previous save); crash atomicity is unchanged
+    (tmp-then-rename). Call ``wait()`` before reading the files."""
+
+    def __init__(self, save_dir: str, async_save: bool = True):
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
+        self._async = async_save
+        self._executor = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+            if async_save else None
+        )
+        self._pending: Optional[Future] = None
         self.prev_best: Optional[float] = None
         # resume: a prior run's best.ckpt keeps gating best-saves so the
         # resumed trajectory's decisions match an uninterrupted run's
@@ -82,11 +98,15 @@ class CheckpointManager:
 
     def update(self, state: TrainState, epoch: int, loss: float,
                test_measure_mean: float, test_measure_std: float,
-               **extra_meta) -> bool:
-        """Save last; save best iff the selection metric improved
-        (train.py:664: strictly greater). Returns True if best updated.
-        ``extra_meta``: additional scalars (e.g. scheduler state for exact
-        resume) stored in the meta sidecar."""
+               save_last: bool = True, **extra_meta) -> bool:
+        """Save last (when ``save_last``); save best iff the selection metric
+        improved (train.py:664: strictly greater). Returns True if best
+        updated. ``extra_meta``: additional scalars (e.g. scheduler state for
+        exact resume) stored in the meta sidecar.
+
+        ``save_last=False`` (the ``--ckpt-every N`` cadence) skips the save
+        AND the device->host state fetch entirely on non-improving epochs —
+        the fetch is the dominant cost on slow host links."""
         meta = dict(
             epoch=epoch,
             loss=loss,
@@ -96,7 +116,30 @@ class CheckpointManager:
         )
         is_best = self.prev_best is None or test_measure_mean > self.prev_best
         if is_best:
-            save_checkpoint(self.best_path, state, **meta)
             self.prev_best = test_measure_mean
-        save_checkpoint(self.last_path, state, **meta)
+        if not is_best and not save_last:
+            return False
+        if self._async:
+            import jax
+
+            self.wait()  # one save in flight; surfaces worker errors
+            host_state = jax.device_get(state)
+            self._pending = self._executor.submit(
+                self._save_both, host_state, is_best, save_last, meta)
+        else:
+            self._save_both(state, is_best, save_last, meta)
         return is_best
+
+    def _save_both(self, state, is_best: bool, save_last: bool,
+                   meta: Dict) -> None:
+        if is_best:
+            save_checkpoint(self.best_path, state, **meta)
+        if save_last:
+            save_checkpoint(self.last_path, state, **meta)
+
+    def wait(self) -> None:
+        """Block until the in-flight async save (if any) has finished; raises
+        if it failed."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()

@@ -376,8 +376,12 @@ class FoldParallelTrainer:
                 self.ckpts[f].update(
                     self._slice_fold(self.state, jnp.int32(f)), epoch,
                     tr["loss"], va["measure_mean"], va["measure_std"],
+                    save_last=(epoch % cfg.ckpt_every == 0
+                               or epoch == cfg.epochs),
                     **sched_meta,
                 )
+        for c in self.ckpts:
+            c.wait()  # drain async saves before files are consumed
         return [c.prev_best for c in self.ckpts]
 
 

@@ -401,8 +401,12 @@ class Trainer:
             )
             self.ckpt.update(
                 self.state, epoch, tr["loss"], va["measure_mean"],
-                va["measure_std"], **sched_meta,
+                va["measure_std"],
+                save_last=(epoch % cfg.ckpt_every == 0
+                           or epoch == cfg.epochs),
+                **sched_meta,
             )
+        self.ckpt.wait()  # drain the async save before files are consumed
         return self.ckpt.prev_best
 
     def _truncate_csv(self, path, start_epoch: int):

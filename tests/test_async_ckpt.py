@@ -1,0 +1,92 @@
+"""Async checkpointing (train/checkpoint.py CheckpointManager): the orbax
+serialization runs in a background worker; update() snapshots and returns."""
+import os
+
+import numpy as np
+import optax
+import pytest
+
+from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (  # noqa: E501
+    CheckpointManager,
+    load_checkpoint,
+)
+from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+    TrainState,
+)
+
+
+def _tiny_state(value: float):
+    import jax.numpy as jnp
+
+    params = {"w": jnp.full((8, 8), value, jnp.float32)}
+    tx = optax.sgd(1.0)
+    return TrainState(params=params, batch_stats={},
+                      opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+class TestAsyncCheckpoint:
+    def test_ordering_and_completion(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.update(_tiny_state(1.0), 1, 0.5, 0.3, 0.0)
+        mgr.update(_tiny_state(2.0), 2, 0.4, 0.6, 0.0)  # waits for save 1
+        mgr.wait()
+        st, meta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert meta["epoch"] == 2
+        np.testing.assert_array_equal(np.asarray(st.params["w"]),
+                                      np.full((8, 8), 2.0))
+        # best gate: epoch 2 improved (0.6 > 0.3) -> best is epoch 2 too
+        _, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert bmeta["epoch"] == 2 and mgr.prev_best == 0.6
+
+    def test_snapshot_isolated_from_later_mutation(self, tmp_path):
+        # the worker serializes a host snapshot — donating/overwriting the
+        # device state after update() must not corrupt the file
+        import jax
+
+        mgr = CheckpointManager(str(tmp_path))
+        state = _tiny_state(3.0)
+        mgr.update(state, 1, 0.0, 0.1, 0.0)
+        state = jax.tree_util.tree_map(lambda l: l * 0.0, state)  # clobber
+        mgr.wait()
+        st, _ = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        np.testing.assert_array_equal(np.asarray(st.params["w"]),
+                                      np.full((8, 8), 3.0))
+
+    def test_worker_errors_surface(self, tmp_path, monkeypatch):
+        mgr = CheckpointManager(str(tmp_path))
+
+        def boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(
+            "restrictive_hierarchical_semantic_segmentation_tpu.train."
+            "checkpoint.save_checkpoint", boom)
+        mgr.update(_tiny_state(1.0), 1, 0.0, 0.1, 0.0)
+        with pytest.raises(RuntimeError, match="disk full"):
+            mgr.wait()
+
+    def test_sync_mode(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), async_save=False)
+        mgr.update(_tiny_state(5.0), 1, 0.0, 0.1, 0.0)
+        st, meta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert meta["epoch"] == 1
+
+    def test_save_last_cadence_skips_fetch(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path))
+        # epoch 1: improving -> best saved even with save_last=False
+        mgr.update(_tiny_state(1.0), 1, 0.0, 0.5, 0.0, save_last=False)
+        mgr.wait()
+        assert os.path.exists(mgr.best_path)
+        assert not os.path.exists(mgr.last_path)
+        # epoch 2: not improving, off-cadence -> nothing written
+        mgr.update(_tiny_state(2.0), 2, 0.0, 0.4, 0.0, save_last=False)
+        mgr.wait()
+        assert not os.path.exists(mgr.last_path)
+        # epoch 3: on-cadence -> last written at epoch 3
+        mgr.update(_tiny_state(3.0), 3, 0.0, 0.3, 0.0, save_last=True)
+        mgr.wait()
+        _, meta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert meta["epoch"] == 3
+        _, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert bmeta["epoch"] == 1  # best still epoch 1
