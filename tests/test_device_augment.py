@@ -99,14 +99,16 @@ class TestEquivalence:
         np.testing.assert_allclose(np.asarray(xd), xh, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(yd), yh)
 
-    def test_ternary_encode_jax_matches_numpy(self, default_tree):
+    def test_ternary_encode_jax_matches_numpy(self, default_tree,
+                                              extended_tree):
         rng = np.random.default_rng(0)
-        y = (rng.uniform(0, 1, (3, 16, 16, default_tree.num_classes))
-             > 0.5).astype(np.float32)
-        np.testing.assert_array_equal(
-            np.asarray(ternary_encode_jax(y, default_tree)),
-            ternary_encode(y, default_tree),
-        )
+        for tree in (default_tree, extended_tree):  # depth 2 and depth 4
+            y = (rng.uniform(0, 1, (3, 16, 16, tree.num_classes))
+                 > 0.5).astype(np.float32)
+            np.testing.assert_array_equal(
+                np.asarray(ternary_encode_jax(y, tree)),
+                ternary_encode(y, tree),
+            )
 
     def test_param_ranges(self):
         import jax
