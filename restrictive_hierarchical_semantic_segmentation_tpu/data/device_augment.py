@@ -265,11 +265,12 @@ class DeviceDataset:
 
     Placement: without an explicit ``sharding`` (or ``set_sharding``) the
     base arrays and augmentation run on the default device; the consumer's
-    ``prefetch_to_device`` re-lays batches out for the training mesh. In
-    fold-parallel multi-device runs this funnels every fold's augmentation
-    through device 0 — fine on one chip (the measured config), a known
-    serialization on real multi-chip fold meshes (per-fold-group placement
-    via ``jax.make_array_from_single_device_arrays`` is the future fix)."""
+    ``prefetch_to_device`` re-lays batches out for the training mesh.
+    Fold-parallel one-device-per-fold meshes call ``place`` so each fold's
+    dataset + augmentation lives on its own device and global batches
+    assemble from the per-device shards
+    (``FoldParallelTrainer._from_shards``); other multi-device fold meshes
+    (data axis > 1) still funnel augmentation through the default device."""
 
     def __init__(self, input_paths, target_paths, tree: ClassTree,
                  img_size: int, hierarchical: bool, batch_size: int,
@@ -302,6 +303,16 @@ class DeviceDataset:
         """Lay augmented batches out for the training mesh at the source
         (otherwise the consumer's prefetch re-puts them)."""
         self._sharding = sharding
+
+    def place(self, device):
+        """Commit the base arrays (and thus the augmentation compute) to one
+        specific device — fold-parallel places each fold's dataset on its
+        fold group's device so augmentation runs fold-parallel too."""
+        import jax
+
+        self._images = jax.device_put(self._images, device)
+        self._masks = jax.device_put(self._masks, device)
+        self.device = device
 
     def __iter__(self):
         import jax

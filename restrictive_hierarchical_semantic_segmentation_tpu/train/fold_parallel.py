@@ -139,6 +139,20 @@ class FoldParallelTrainer:
         self.batch_shard = NamedSharding(
             self.mesh, P(FOLD_AXIS, DATA_AXIS, SPACE_AXIS, None, None)
         )
+        # device-data + one-device-per-fold mesh: place each fold's resident
+        # dataset on ITS fold device so augmentation runs fold-parallel, and
+        # assemble the global stacked batch directly from the per-device
+        # shards (jax.make_array_from_single_device_arrays) — no host
+        # round-trip, no device-0 funnel
+        n_fold_mesh, n_data_mesh, n_space_mesh = self.mesh.devices.shape
+        self._shard_stack = (
+            cfg.device_data and n_fold_mesh == F
+            and n_data_mesh == 1 and n_space_mesh == 1
+            and all(hasattr(ld, "place") for ld in self.train_loaders)
+        )
+        if self._shard_stack:
+            for f, ld in enumerate(self.train_loaders):
+                ld.place(self.mesh.devices[f, 0, 0])
         # per-fold validation runs the plain eval step on a fold-replicated
         # state slice; batches ride the same mesh (shape-flexible over folds)
         self.eval_batch_shard = NamedSharding(
@@ -246,12 +260,25 @@ class FoldParallelTrainer:
         its = [iter(ld) for ld in self.train_loaders]
         for _ in range(min(lens)):
             batches = [next(it) for it in its]
+            if self._shard_stack:
+                yield (self._from_shards([b[0] for b in batches]),
+                       self._from_shards([b[1] for b in batches]))
+                continue
             # device-data loaders yield device arrays — stack on device
             # (jnp) instead of round-tripping through host numpy
             stack = (jnp.stack if isinstance(batches[0][0], jax.Array)
                      else np.stack)
             yield (stack([b[0] for b in batches]),
                    stack([b[1] for b in batches]))
+
+    def _from_shards(self, fold_arrays):
+        """(B, ...) per-fold arrays, each on its fold device -> the global
+        (F, B, ...) array sharded P(fold, ...) with zero data movement."""
+        shards = [a[None] for a in fold_arrays]  # (1, B, ...) shard shape
+        global_shape = (len(shards),) + tuple(fold_arrays[0].shape)
+        return jax.make_array_from_single_device_arrays(
+            global_shape, self.batch_shard, shards
+        )
 
     def train_epoch(self, epoch: int):
         cfg = self.cfg

@@ -257,3 +257,44 @@ class TestFoldParallelTraining:
                 os.path.join(out, f"fold_{fold}", "metrics.csv"))
             assert [r[0] for r in rows] == ["Epoch", "1"]
             assert np.isfinite(float(rows[1][1]))
+
+    def test_device_data_per_fold_placement(self, tmp_path):
+        """batch 5 on 8 devices -> (fold=2, data=1) mesh: each fold's
+        device-resident dataset lives on its own device and global batches
+        assemble from per-device shards (no device-0 funnel)."""
+        import jax
+
+        from restrictive_hierarchical_semantic_segmentation_tpu.data.synthetic import (  # noqa: E501
+            write_synth_dataset,
+        )
+        from restrictive_hierarchical_semantic_segmentation_tpu.hierarchy.tree import (  # noqa: E501
+            ClassTree,
+        )
+        from restrictive_hierarchical_semantic_segmentation_tpu.train.fold_parallel import (  # noqa: E501
+            FoldParallelTrainer,
+        )
+
+        data = str(tmp_path / "d")
+        write_synth_dataset(data, 12, size=64, seed=6, folds=2)
+        cfg = _cfg(data, str(tmp_path / "o"), batch_size=5, epochs=1,
+                   fold_parallel=True, device_data=True)
+        tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
+        fp = FoldParallelTrainer(cfg, tree, [1, 2])
+        assert fp.mesh.devices.shape == (2, 1, 1)
+        assert fp._shard_stack
+        devs = [ld.device for ld in fp.train_loaders]
+        assert devs[0] != devs[1]  # one device per fold
+        for ld in fp.train_loaders:
+            ld.set_epoch(1)
+        x, y = next(fp._stacked_batches(1))
+        assert x.shape[0] == 2 and x.shape[1] == 5
+        assert x.sharding.is_equivalent_to(fp.batch_shard, x.ndim)
+        # shards sit where the folds' datasets sit
+        shard_devs = {s.device for s in x.addressable_shards}
+        assert shard_devs == set(devs)
+        # and a real vmapped step consumes it
+        import jax.numpy as jnp
+
+        state, aux = fp.train_step(
+            fp.state, x, y, jnp.ones((fp.n_levels,), jnp.float32))
+        assert np.all(np.isfinite(np.asarray(aux["loss"])))
