@@ -158,6 +158,7 @@ def test_checkpoint_roundtrip(tmp_path, default_tree):
     assert mgr.update(state, 1, 0.5, 0.6, 0.01)       # first is always best
     assert not mgr.update(state, 2, 0.4, 0.55, 0.01)  # worse -> last only
     assert mgr.update(state, 3, 0.3, 0.7, 0.01)       # better -> best
+    mgr.wait()  # saves are async; drain before reading files
     restored, meta = load_checkpoint(mgr.best_path, state)
     np.testing.assert_allclose(float(meta["test_measure_mean"]), 0.7)
     a = jax.tree_util.tree_leaves(state.params)
