@@ -35,6 +35,9 @@ def get_args(argv=None):
                    help="eval forward batch size; scores stay per-image so "
                         "metrics are identical to the reference's batch=1 "
                         "(reference caps at 1, predictEval.py:222)")
+    p.add_argument("--tta", type=str, default="False",
+                   help="horizontal-flip test-time augmentation (averaged "
+                        "logits/probs; composes with --quantize)")
     p.add_argument("--quantize", type=str, default="False",
                    help="int8 post-training quantization of the eval forward "
                         "(calibrated on the first val batch; heads stay "
@@ -58,6 +61,7 @@ def main(argv=None):
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         val_batch=args.val_batch,
         quantize=_bool(args.quantize),
+        tta=_bool(args.tta),
     )
     if _bool(args.inc_cross_val) and args.folds > 0:
         roots, weights = [], []

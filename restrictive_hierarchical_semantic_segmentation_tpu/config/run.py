@@ -42,6 +42,9 @@ class RunConfig:
     # int8 post-training quantization for the offline-eval forward
     # (train/quantize.py; measured 1.27x at 620px, tools/serving_bench.py)
     quantize: bool = False
+    # horizontal-flip test-time augmentation for offline eval
+    # (train/evaluate.py tta_apply; composes with quantize)
+    tta: bool = False
     lr: float = 1e-4
     lrs: bool = True                 # ReduceLROnPlateau on/off
     lrs_min: float = 1e-6

@@ -24,7 +24,40 @@ from ..models.hierarchical import build_model
 from .loop import list_pairs
 from .state import create_train_state
 
-__all__ = ["reconstruct_levels_from_leaves", "Evaluator", "predict_eval"]
+__all__ = ["reconstruct_levels_from_leaves", "tta_apply", "Evaluator",
+           "predict_eval"]
+
+
+def tta_apply(base_apply):
+    """Horizontal-flip test-time augmentation: run the forward on ``x`` and
+    ``hflip(x)``, unflip the second view's maps, average logits and composed
+    probabilities per level. A quality knob the reference lacks; both views
+    ride one compiled program (the vmapped/batched forward runs twice inside
+    the same jit). ``q_per_level`` keeps the identity view's conditionals
+    (only the optional KL stabiliser reads them; it is a train-time term)."""
+    from ..models.hierarchical import SegmenterOutput
+
+    def apply(variables, x, train=False, **kw):
+        o1 = base_apply(variables, x, train=train, **kw)
+        o2 = base_apply(variables, x[:, :, ::-1], train=train, **kw)
+
+        def unflip_avg(a, b):
+            return 0.5 * (a + b[:, :, ::-1])
+
+        logits = [unflip_avg(a, b) for a, b in
+                  zip(o1.logits_per_level, o2.logits_per_level)]
+        probs = (
+            [unflip_avg(a, b) for a, b in
+             zip(o1.probs_per_level, o2.probs_per_level)]
+            if o1.probs_per_level is not None else None
+        )
+        return SegmenterOutput(
+            probs_per_level=probs,
+            logits_per_level=logits,
+            q_per_level=o1.q_per_level,
+        )
+
+    return apply
 
 
 def reconstruct_levels_from_leaves(
@@ -144,6 +177,9 @@ class Evaluator:
                          "batch_stats": self.state.batch_stats}
             scales = calibrate(self.model.apply, variables, [xc], train=False)
             apply_fn = quantized_apply(self.model.apply, scales)
+        if cfg.tta:
+            # composes with quantize: both views run the int8 path
+            apply_fn = tta_apply(apply_fn or self.model.apply)
         self.eval_step = make_eval_step(
             self.model, tree, cfg.hierarchical,
             return_outputs=self._need_outputs, per_image_metrics=True,
