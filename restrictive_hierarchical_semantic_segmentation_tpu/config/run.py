@@ -98,6 +98,12 @@ class RunConfig:
     # reference runs folds sequentially (train.py:546)
     fold_parallel: bool = False
 
+    def __post_init__(self):
+        if self.ckpt_every < 1:
+            raise ValueError(f"ckpt_every must be >= 1, got {self.ckpt_every}")
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+
     @property
     def hierarchical(self) -> bool:
         return self.model_type == 1

@@ -274,13 +274,17 @@ class DeviceDataset:
 
     def __init__(self, input_paths, target_paths, tree: ClassTree,
                  img_size: int, hierarchical: bool, batch_size: int,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None, device=None):
         import jax
 
         images, masks = load_base_arrays(
             input_paths, target_paths, tree, img_size, hierarchical)
-        self._images = jax.device_put(images)
-        self._masks = jax.device_put(masks)
+        # upload straight to the target device when given (fold-parallel
+        # passes each fold's device — avoids a transient all-folds pileup on
+        # the default device followed by device-to-device moves)
+        self._images = jax.device_put(images, device)
+        self._masks = jax.device_put(masks, device)
+        self.device = device
         self.batch_size = int(batch_size)
         self.seed = int(seed)
         self._n = images.shape[0]

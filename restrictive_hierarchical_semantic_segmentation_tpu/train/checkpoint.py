@@ -69,10 +69,18 @@ class CheckpointManager:
     ``update`` waits for the previous save); crash atomicity is unchanged
     (tmp-then-rename). Call ``wait()`` before reading the files."""
 
-    def __init__(self, save_dir: str, async_save: bool = True):
+    def __init__(self, save_dir: str, async_save: bool = True,
+                 ckpt_every: int = 1, final_epoch: Optional[int] = None):
+        """``ckpt_every``/``final_epoch``: the last.ckpt cadence — last saves
+        on every ``ckpt_every``-th epoch and on the final one (best.ckpt
+        saves on every improvement regardless)."""
+        if ckpt_every < 1:
+            raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
         self._async = async_save
+        self.ckpt_every = int(ckpt_every)
+        self.final_epoch = final_epoch
         self._executor = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
             if async_save else None
@@ -98,15 +106,19 @@ class CheckpointManager:
 
     def update(self, state: TrainState, epoch: int, loss: float,
                test_measure_mean: float, test_measure_std: float,
-               save_last: bool = True, **extra_meta) -> bool:
-        """Save last (when ``save_last``); save best iff the selection metric
+               save_last: Optional[bool] = None, **extra_meta) -> bool:
+        """Save last (per the ``ckpt_every``/``final_epoch`` cadence, or the
+        explicit ``save_last`` override); save best iff the selection metric
         improved (train.py:664: strictly greater). Returns True if best
         updated. ``extra_meta``: additional scalars (e.g. scheduler state for
         exact resume) stored in the meta sidecar.
 
-        ``save_last=False`` (the ``--ckpt-every N`` cadence) skips the save
-        AND the device->host state fetch entirely on non-improving epochs —
-        the fetch is the dominant cost on slow host links."""
+        Off-cadence non-improving epochs skip the save AND the device->host
+        state fetch entirely — the fetch is the dominant cost on slow host
+        links."""
+        if save_last is None:
+            save_last = (epoch % self.ckpt_every == 0
+                         or epoch == self.final_epoch)
         meta = dict(
             epoch=epoch,
             loss=loss,
@@ -118,6 +130,10 @@ class CheckpointManager:
         if is_best:
             self.prev_best = test_measure_mean
         if not is_best and not save_last:
+            # still surface a FAILED in-flight save promptly (a best.ckpt
+            # submitted epochs ago may have errored; don't train on unsaved)
+            if self._pending is not None and self._pending.done():
+                self.wait()
             return False
         if self._async:
             import jax

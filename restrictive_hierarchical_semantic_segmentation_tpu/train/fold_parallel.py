@@ -75,19 +75,8 @@ class FoldParallelTrainer:
         )
         self.n_levels = len(self.num_classes_per_level)
 
-        # --- per-fold data / output dirs ------------------------------------
-        self.save_locs, self.train_loaders, self.val_loaders = [], [], []
-        for fold in self.fold_ids:
-            train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")
-            val_root = os.path.join(cfg.data_root, f"fold_{fold}", "val")
-            save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
-            os.makedirs(save_loc, exist_ok=True)
-            tr, va = make_loaders(cfg, tree, train_root, val_root)
-            self.save_locs.append(save_loc)
-            self.train_loaders.append(tr)
-            self.val_loaders.append(va)
-
-        # --- mesh / model / stacked state -----------------------------------
+        # --- mesh (first: device-data loaders upload straight to their fold
+        # device) ------------------------------------------------------------
         if cfg.n_space > 1:
             # composing the manual fold axis with spatial sharding trips an
             # XLA GSPMD CHECK failure (PartitionGather /
@@ -99,6 +88,34 @@ class FoldParallelTrainer:
                 "sequential folds (--fold N) for spatially-sharded runs"
             )
         self.mesh = make_fold_mesh(F, cfg.batch_size, cfg.n_space)
+        n_fold_mesh, n_data_mesh, n_space_mesh = self.mesh.devices.shape
+        # device-data + one-device-per-fold mesh: each fold's resident
+        # dataset (and its augmentation) lives on ITS fold device, and the
+        # global stacked batch assembles directly from the per-device shards
+        # (jax.make_array_from_single_device_arrays) — no host round-trip,
+        # no device-0 funnel, no transient all-folds-on-one-device upload
+        self._shard_stack = (
+            cfg.device_data and n_fold_mesh == F
+            and n_data_mesh == 1 and n_space_mesh == 1
+        )
+
+        # --- per-fold data / output dirs ------------------------------------
+        self.save_locs, self.train_loaders, self.val_loaders = [], [], []
+        for f, fold in enumerate(self.fold_ids):
+            train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")
+            val_root = os.path.join(cfg.data_root, f"fold_{fold}", "val")
+            save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
+            os.makedirs(save_loc, exist_ok=True)
+            tr, va = make_loaders(
+                cfg, tree, train_root, val_root,
+                device=(self.mesh.devices[f, 0, 0] if self._shard_stack
+                        else None),
+            )
+            self.save_locs.append(save_loc)
+            self.train_loaders.append(tr)
+            self.val_loaders.append(va)
+
+        # --- model / stacked state ------------------------------------------
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:
@@ -139,20 +156,6 @@ class FoldParallelTrainer:
         self.batch_shard = NamedSharding(
             self.mesh, P(FOLD_AXIS, DATA_AXIS, SPACE_AXIS, None, None)
         )
-        # device-data + one-device-per-fold mesh: place each fold's resident
-        # dataset on ITS fold device so augmentation runs fold-parallel, and
-        # assemble the global stacked batch directly from the per-device
-        # shards (jax.make_array_from_single_device_arrays) — no host
-        # round-trip, no device-0 funnel
-        n_fold_mesh, n_data_mesh, n_space_mesh = self.mesh.devices.shape
-        self._shard_stack = (
-            cfg.device_data and n_fold_mesh == F
-            and n_data_mesh == 1 and n_space_mesh == 1
-            and all(hasattr(ld, "place") for ld in self.train_loaders)
-        )
-        if self._shard_stack:
-            for f, ld in enumerate(self.train_loaders):
-                ld.place(self.mesh.devices[f, 0, 0])
         # per-fold validation runs the plain eval step on a fold-replicated
         # state slice; batches ride the same mesh (shape-flexible over folds)
         self.eval_batch_shard = NamedSharding(
@@ -192,7 +195,11 @@ class FoldParallelTrainer:
             self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,
             ohem=ohem, return_outputs=cfg.save_images_batch,
         )
-        self.ckpts = [CheckpointManager(loc) for loc in self.save_locs]
+        self.ckpts = [
+            CheckpointManager(loc, ckpt_every=cfg.ckpt_every,
+                              final_epoch=cfg.epochs)
+            for loc in self.save_locs
+        ]
 
     # --------------------------------------------------------------- resume
     def _resume_or_init(self, template, F: int):
@@ -403,8 +410,6 @@ class FoldParallelTrainer:
                 self.ckpts[f].update(
                     self._slice_fold(self.state, jnp.int32(f)), epoch,
                     tr["loss"], va["measure_mean"], va["measure_std"],
-                    save_last=(epoch % cfg.ckpt_every == 0
-                               or epoch == cfg.epochs),
                     **sched_meta,
                 )
         for c in self.ckpts:

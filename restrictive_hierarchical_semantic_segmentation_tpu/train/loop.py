@@ -54,9 +54,11 @@ def list_pairs(root: str) -> Tuple[List[str], List[str]]:
 
 
 def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
-                 val_root: Optional[str]):
+                 val_root: Optional[str], device=None):
     """Build one fold's (train, val) loaders — shared by the sequential
-    ``Trainer`` and the fold-parallel trainer so both see identical batches."""
+    ``Trainer`` and the fold-parallel trainer so both see identical batches.
+    ``device``: target device for a device-resident train set (fold-parallel
+    uploads each fold's data straight to its fold device)."""
     hier = cfg.hierarchical
     tr_imgs, tr_labs = list_pairs(train_root)
     if val_root:
@@ -99,7 +101,7 @@ def make_loaders(cfg: RunConfig, tree: ClassTree, train_root: str,
 
         train_loader = DeviceDataset(
             tr_imgs, tr_labs, tree, cfg.img_size, hier,
-            batch_size=cfg.batch_size, seed=cfg.seed,
+            batch_size=cfg.batch_size, seed=cfg.seed, device=device,
         )
     else:
         train_loader = loader_cls(
@@ -267,7 +269,8 @@ class Trainer:
         self.scheduler = ReduceLROnPlateau(
             cfg.lr, "max", 0.5, 3, min_lr=cfg.lrs_min
         ) if cfg.lrs else None
-        self.ckpt = CheckpointManager(save_loc)
+        self.ckpt = CheckpointManager(
+            save_loc, ckpt_every=cfg.ckpt_every, final_epoch=cfg.epochs)
         self.n_levels = len(self.num_classes_per_level)
 
         # --- exact resume (beats the reference's weights-only --model-weights
@@ -401,10 +404,7 @@ class Trainer:
             )
             self.ckpt.update(
                 self.state, epoch, tr["loss"], va["measure_mean"],
-                va["measure_std"],
-                save_last=(epoch % cfg.ckpt_every == 0
-                           or epoch == cfg.epochs),
-                **sched_meta,
+                va["measure_std"], **sched_meta,
             )
         self.ckpt.wait()  # drain the async save before files are consumed
         return self.ckpt.prev_best

@@ -90,3 +90,49 @@ class TestAsyncCheckpoint:
         assert meta["epoch"] == 3
         _, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
         assert bmeta["epoch"] == 1  # best still epoch 1
+
+    def test_internal_cadence(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), ckpt_every=2, final_epoch=5)
+        mgr.update(_tiny_state(1.0), 1, 0.0, 0.5, 0.0)  # best; off-cadence
+        mgr.update(_tiny_state(2.0), 2, 0.0, 0.4, 0.0)  # on-cadence
+        mgr.update(_tiny_state(3.0), 3, 0.0, 0.3, 0.0)  # neither
+        mgr.wait()
+        _, meta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert meta["epoch"] == 2
+        mgr.update(_tiny_state(5.0), 5, 0.0, 0.2, 0.0)  # final epoch
+        mgr.wait()
+        _, meta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert meta["epoch"] == 5
+
+    def test_failed_save_surfaces_on_next_update(self, tmp_path, monkeypatch):
+        import time
+
+        mgr = CheckpointManager(str(tmp_path), ckpt_every=100)
+
+        def boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(
+            "restrictive_hierarchical_semantic_segmentation_tpu.train."
+            "checkpoint.save_checkpoint", boom)
+        mgr.update(_tiny_state(1.0), 1, 0.0, 0.5, 0.0)  # best -> async fail
+        for _ in range(100):  # let the worker finish
+            if mgr._pending.done():
+                break
+            time.sleep(0.05)
+        with pytest.raises(RuntimeError, match="disk full"):
+            # epoch 2: non-improving, off-cadence — must STILL surface the
+            # earlier failure instead of silently skipping for 98 epochs
+            mgr.update(_tiny_state(2.0), 2, 0.0, 0.4, 0.0)
+
+    def test_rejects_bad_cadence(self, tmp_path):
+        with pytest.raises(ValueError, match="ckpt_every"):
+            CheckpointManager(str(tmp_path), ckpt_every=0)
+        from restrictive_hierarchical_semantic_segmentation_tpu.config.run import (  # noqa: E501
+            RunConfig,
+        )
+
+        with pytest.raises(ValueError, match="ckpt_every"):
+            RunConfig(ckpt_every=0)
+        with pytest.raises(ValueError, match="grad_accum"):
+            RunConfig(grad_accum=0)
