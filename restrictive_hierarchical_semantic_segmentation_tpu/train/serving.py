@@ -153,12 +153,16 @@ class Predictor:
                     "class_maps": class_maps,
                 }
         else:
-            stacked = jax.tree_util.tree_map(
+            # ensemble weights ride as a RUNTIME argument, not baked
+            # constants: F x the weight constants would bloat the program
+            # (and exceed remote-compile payload limits); they live on
+            # device once and are passed by reference per call
+            self._stacked = jax.device_put(jax.tree_util.tree_map(
                 lambda *ls: jnp.stack(ls), *all_variables
-            )
+            ))
 
             @jax.jit
-            def _fn(x):
+            def _ens(stacked, x):
                 def one(v):
                     out = apply_fn(v, x, train=False)
                     probs = out.probs_per_level
@@ -176,6 +180,9 @@ class Predictor:
                     "probs": probs,
                     "class_maps": class_maps,
                 }
+
+            def _fn(x):
+                return _ens(self._stacked, x)
 
         self._fn = _fn
 
