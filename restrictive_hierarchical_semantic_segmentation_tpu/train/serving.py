@@ -69,7 +69,8 @@ class Predictor:
                  weights_path: Union[str, Sequence[str]],
                  tree: Optional[ClassTree] = None,
                  quantize: bool = False,
-                 calib_batches: Optional[List[np.ndarray]] = None):
+                 calib_batches: Optional[List[np.ndarray]] = None,
+                 outputs: Sequence[str] = ("logits", "probs", "class_maps")):
         from ..utils.compile_cache import enable
 
         enable()
@@ -139,6 +140,19 @@ class Predictor:
         # the training-only graph.
         import jax.numpy as jnp
 
+        want = tuple(outputs)
+        bad = set(want) - {"logits", "probs", "class_maps"}
+        if bad:
+            raise ValueError(f"unknown Predictor outputs: {sorted(bad)}")
+
+        def _select(full):
+            # unrequested outputs never leave the program — XLA dead-code
+            # eliminates their compute, and __call__ fetches only what's
+            # asked for (class maps are int32 (B,H,W): ~60x smaller than
+            # the full float per-level maps — the transfer matters on slow
+            # host links)
+            return {k: full[k] for k in want}
+
         if len(paths) == 1:
             @jax.jit
             def _fn(x):
@@ -147,11 +161,11 @@ class Predictor:
                 class_maps = [jnp.argmax(z, -1).astype(jnp.int32)
                               for z in scores]
                 probs = out.probs_per_level
-                return {
+                return _select({
                     "logits": list(scores),
                     "probs": list(probs) if probs is not None else None,
                     "class_maps": class_maps,
-                }
+                })
         else:
             # ensemble weights ride as a RUNTIME argument, not baked
             # constants: F x the weight constants would bloat the program
@@ -175,11 +189,11 @@ class Predictor:
                 probs = [p.mean(0) for p in fold_probs]
                 class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
                               for p in probs]
-                return {
+                return _select({
                     "logits": None,
                     "probs": probs,
                     "class_maps": class_maps,
-                }
+                })
 
             def _fn(x):
                 return _ens(self._stacked, x)

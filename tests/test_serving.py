@@ -135,3 +135,49 @@ def test_fold_ensemble_predictor(tmp_path, assets_dir, default_tree,
     # quantize + ensemble is refused loudly
     with pytest.raises(ValueError, match="ensemble"):
         Predictor(cfg, ckpts, tree=default_tree, quantize=True)
+
+
+def test_predictor_output_selection(tmp_path, assets_dir, default_tree,
+                                    monkeypatch):
+    import jax
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.serving import (
+        Predictor,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    small_model = H.HierarchicalSegmenter(
+        tree=default_tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.serving."
+        "build_model",
+        lambda *a, **k: small_model,
+    )
+    x = np.random.default_rng(2).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    state, _ = create_train_state(small_model, jax.random.PRNGKey(0), x, 0.0)
+    ckpt = str(tmp_path / "best.ckpt")
+    save_checkpoint(ckpt, state, epoch=1, loss=0.0, test_measure_mean=0.5,
+                    test_measure_std=0.0)
+    cfg = RunConfig(tree_root=str(assets_dir / "class_tree_tl.json"),
+                    class_map=str(assets_dir / "class_map.csv"),
+                    model_select=0, model_type=1, img_size=32)
+    lean = Predictor(cfg, ckpt, tree=default_tree, outputs=("class_maps",))
+    out = lean(x)
+    assert set(out) == {"class_maps"}
+    full = Predictor(cfg, ckpt, tree=default_tree)(x)
+    for a, b in zip(out["class_maps"], full["class_maps"]):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="unknown"):
+        Predictor(cfg, ckpt, tree=default_tree, outputs=("banana",))
