@@ -244,7 +244,7 @@ def main():
                   f"{'' if args.model != 'hrnet' or args.width == 'w48' else '_' + args.width}"
                   f"{'' if args.folds <= 1 else f'_folds{args.folds}'}"
                   f"{'' if args.grad_accum <= 1 else f'_ga{args.grad_accum}'}"
-                  f"_{S}px_train_step_throughput",
+                  f"_{S}px_b{B}_train_step_throughput",
         "value": round(ips_per_chip, 3),
         "unit": "images_per_sec_per_chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,

@@ -40,8 +40,16 @@ def get_args(argv=None):
                         "logits/probs; composes with --quantize)")
     p.add_argument("--quantize", type=str, default="False",
                    help="int8 post-training quantization of the eval forward "
-                        "(calibrated on the first val batch; heads stay "
-                        "float; measured 1.27x at 620px — serving_bench.py)")
+                        "(calibrated on the first --calib-batches val "
+                        "batches; logits heads stay float; measured 1.27x "
+                        "at 620px — serving_bench.py)")
+    p.add_argument("--calib-batches", type=int, default=4,
+                   help="val batches used for --quantize activation-scale "
+                        "calibration (running amax)")
+    p.add_argument("--eval-inflight", type=int, default=4,
+                   help="max dispatched batches whose results are held on "
+                        "device before the oldest is fetched (bounds HBM "
+                        "for large validation sets)")
     return p.parse_args(argv)
 
 
@@ -61,6 +69,8 @@ def main(argv=None):
         num_workers=8 if args.num_workers == -1 else args.num_workers,
         val_batch=args.val_batch,
         quantize=_bool(args.quantize),
+        calib_batches=args.calib_batches,
+        eval_inflight=args.eval_inflight,
         tta=_bool(args.tta),
     )
     if _bool(args.inc_cross_val) and args.folds > 0:

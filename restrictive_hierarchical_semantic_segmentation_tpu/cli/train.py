@@ -88,6 +88,9 @@ def get_args(argv=None):
     p.add_argument("--use-ohem", type=str, default="False")
     p.add_argument("--ohem-thres", type=float, default=0.9)
     p.add_argument("--ohem-keep", type=int, default=100000)
+    p.add_argument("--nan-probe-every", type=int, default=50,
+                   help="fetch the loss every N steps and fail fast on "
+                        "non-finite values (0 disables the mid-epoch probe)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile-dir", type=str, default=None)
     p.add_argument("--auto-resume", type=str, default="False",
@@ -150,6 +153,7 @@ def config_from_args(args):
         fold=args.fold,
         test_remove=_bool(args.test_remove),
         seed=args.seed,
+        nan_probe_every=args.nan_probe_every,
         save_images_batch=_bool(args.save_images_batch),
         save_images_batch_num=args.save_images_batch_num,
         profile_dir=args.profile_dir,
@@ -164,6 +168,13 @@ def config_from_args(args):
 
 def main(argv=None):
     args = get_args(argv)
+    if _bool(args.mgpu):
+        # reference --multi-gpu wraps nn.DataParallel (train.py:509-510);
+        # here data parallelism is automatic over the device mesh, so the
+        # flag is accepted for drop-in parity but changes nothing
+        print("--multi-gpu is ignored: data parallelism is automatic over "
+              "the device mesh (see --n-space / --fold-parallel; "
+              "MIGRATION.md 'Parallelism').")
     cfg = config_from_args(args)
     from ..train.loop import train
 

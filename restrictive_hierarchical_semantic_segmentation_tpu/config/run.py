@@ -42,6 +42,12 @@ class RunConfig:
     # int8 post-training quantization for the offline-eval forward
     # (train/quantize.py; measured 1.27x at 620px, tools/serving_bench.py)
     quantize: bool = False
+    # activation-scale calibration batches for --quantize (per-tensor amax
+    # over the first N val batches; one batch can clip the rest of the set)
+    calib_batches: int = 4
+    # offline-eval dispatch window: max batches of results held in HBM
+    # before the oldest is fetched (train/evaluate.py Evaluator.run)
+    eval_inflight: int = 4
     # horizontal-flip test-time augmentation for offline eval
     # (train/evaluate.py tta_apply; composes with quantize)
     tta: bool = False
@@ -61,6 +67,12 @@ class RunConfig:
     # off-cadence epochs — the dominant per-epoch cost on slow host links;
     # the final epoch always saves. Resume granularity becomes N epochs.
     ckpt_every: int = 1
+    # fail-fast cadence: every N steps the epoch loop fetches the latest
+    # step's loss and raises on non-finite values. Per-step aux otherwise
+    # stays on device for the whole epoch (dispatch pipelining), so without
+    # the probe a NaN at step 0 would burn a full epoch of garbage steps
+    # before detection. Each probe costs one host sync; 0 disables.
+    nan_probe_every: int = 50
     # >1: one optimizer step from N sequential microbatches (lax.scan) —
     # peak activation memory of ONE microbatch; the cheaper large-batch
     # knob vs --remat (train/steps.py accum_step, BENCHMARKS.md)
@@ -103,6 +115,12 @@ class RunConfig:
             raise ValueError(f"ckpt_every must be >= 1, got {self.ckpt_every}")
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.calib_batches < 1:
+            raise ValueError(
+                f"calib_batches must be >= 1, got {self.calib_batches}")
+        if self.eval_inflight < 1:
+            raise ValueError(
+                f"eval_inflight must be >= 1, got {self.eval_inflight}")
 
     @property
     def hierarchical(self) -> bool:

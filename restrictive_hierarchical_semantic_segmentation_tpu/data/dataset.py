@@ -65,6 +65,39 @@ def decode_mask(path: str) -> np.ndarray:
     return m
 
 
+class ByteCappedCache:
+    """Insert-until-full numpy-array cache bounded by TOTAL BYTES.
+
+    Per-image caches here are hit once per (index, size) per epoch, so
+    eviction would only thrash: once the byte budget is spent, further keys
+    are simply not cached (re-decoded per epoch, like the reference does for
+    everything). A plain dict with an entry-count cap is not a real bound —
+    4096 entries of 620px float images would be ~19 GB on a small host."""
+
+    def __init__(self, cap_bytes: int):
+        self.cap_bytes = int(cap_bytes)
+        self.nbytes = 0
+        self._d: dict = {}
+
+    def get(self, key, default=None):
+        return self._d.get(key, default)
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __setitem__(self, key, value):
+        if key in self._d:
+            return
+        nb = int(getattr(value, "nbytes", 0))
+        if self.nbytes + nb > self.cap_bytes:
+            return
+        self._d[key] = value
+        self.nbytes += nb
+
+
 class SegDataset:
     def __init__(
         self,
@@ -80,6 +113,7 @@ class SegDataset:
         use_native: bool = True,
         target_dtype=np.float32,
         emit_gray: bool = False,
+        cache_bytes: int = 1 << 30,
     ):
         assert len(input_paths) == len(target_paths)
         self.input_paths = list(input_paths)
@@ -103,9 +137,12 @@ class SegDataset:
         # augmentation-independent per-image caches, reused across epochs:
         # channel bitmasks ((index, size) -> (S, S) uint32, ~1.5MB/img @620)
         # and decoded+resized [0,1] images (~4.6MB/img @620). The reference
-        # re-decodes every epoch; identical values, just cached.
-        self._bits_cache: dict = {}
-        self._img_cache: dict = {}
+        # re-decodes every epoch; identical values, just cached. BYTE-capped
+        # (entry-count caps are not a real bound on a small host: 4096
+        # entries at 620px would be ~19 GB); past the cap new images are
+        # simply re-decoded per epoch, reference-style.
+        self._bits_cache = ByteCappedCache(cache_bytes)
+        self._img_cache = ByteCappedCache(cache_bytes)
         self.cache_images = True
 
     def __len__(self) -> int:
@@ -132,9 +169,9 @@ class SegDataset:
                 np.float32
             ) / 255.0
             x = T.resize_bilinear_np(x, (s, s))
-            # bounded: ~4.6MB/entry at 620px; enough for TL-pano-scale
-            # datasets, bypassed automatically for huge corpora
-            if self.cache_images and len(self._img_cache) < 4096:
+            # byte-bounded: ~4.6MB/entry at 620px; covers TL-pano-scale
+            # datasets, silently skips caching once the budget is spent
+            if self.cache_images:
                 self._img_cache[(index, s)] = x
         mask = None
         if not (self.use_native and (index, s) in self._bits_cache):

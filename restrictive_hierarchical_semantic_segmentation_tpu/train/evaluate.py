@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import csv
 import os
+from collections import deque
 from typing import List, Optional
 
 import jax
@@ -104,6 +105,7 @@ class Evaluator:
         # score each image separately (per_image_metrics), so metrics.csv is
         # bit-identical to the batch=1 run at a fraction of the wall time.
         self.batch = max(1, cfg.val_batch)
+        self.inflight = max(1, cfg.eval_inflight)
         self.loader = BatchLoader(
             SegDataset(imgs, labs, tree, cfg.img_size, hier, augment=False,
                        target_dtype=np.int8 if cfg.host_compact else np.float32,
@@ -163,19 +165,24 @@ class Evaluator:
         self._need_outputs = self.save_images or not cfg.hierarchical
         apply_fn = None
         if cfg.quantize:
-            # int8 PTQ (train/quantize.py): calibrate activation scales on
-            # the first validation batch, then run every covered conv on the
-            # MXU int8 path (heads stay float). Measured 1.27x at 620px with
-            # 99.7% argmax agreement — tools/serving_bench.py.
+            # int8 PTQ (train/quantize.py): calibrate activation scales as a
+            # running amax over the first cfg.calib_batches val batches (a
+            # single image's scales can clip the rest of the set), then run
+            # every covered conv on the MXU int8 path (heads stay float).
+            # Measured 1.27x at 620px, 99.7% argmax agreement —
+            # tools/serving_bench.py.
             from .quantize import calibrate, quantized_apply
             from .steps import _device_decode
 
-            xb, yb = next(iter(self.loader))
-            xc = np.asarray(jax.device_get(_device_decode(
-                jnp.asarray(xb), jnp.asarray(yb))[0]), np.float32)
+            calib = []
+            for xb, yb in self.loader:
+                calib.append(np.asarray(jax.device_get(_device_decode(
+                    jnp.asarray(xb), jnp.asarray(yb))[0]), np.float32))
+                if len(calib) >= cfg.calib_batches:
+                    break
             variables = {"params": self.state.params,
                          "batch_stats": self.state.batch_stats}
-            scales = calibrate(self.model.apply, variables, [xc], train=False)
+            scales = calibrate(self.model.apply, variables, calib, train=False)
             apply_fn = quantized_apply(self.model.apply, scales)
         if cfg.tta:
             # composes with quantize: both views run the int8 path
@@ -187,14 +194,20 @@ class Evaluator:
         )
 
     def run(self) -> dict:
-        cfg, tree = self.cfg, self.tree
+        tree = self.tree
         acc = MetricAccumulator(self.num_classes_per_level)
         if self.save_images:
             for c in range(tree.num_classes):
                 os.makedirs(os.path.join(self.save_dir, str(c)), exist_ok=True)
 
         B = self.batch
-        device_res = []  # (res, n_valid) — fetched after dispatch (pipelines)
+        # Bounded in-flight window: dispatch ahead of the fetch loop (keeps
+        # the device busy) but never hold more than `inflight` batches of
+        # results in HBM — a flat/save_images 620px result is ~10.8 MB/image
+        # float, so an unbounded buffer (round-2 design) OOMs on large
+        # validation sets.
+        pending = deque()
+        img_idx = 0
         for x, y in self.loader:
             n_valid = x.shape[0]
             if n_valid < B:
@@ -207,44 +220,51 @@ class Evaluator:
             yd = jax.device_put(np.asarray(y), self.batch_shard)
             res = self.eval_step(self.state.params, self.state.batch_stats,
                                  xd, yd)
-            device_res.append((res, n_valid, y))
-
-        img_idx = 0
-        for res, n_valid, y in device_res:
-            if cfg.hierarchical:
-                cms = [np.asarray(c) for c in jax.device_get(res["confmats"])]
-                outputs = (
-                    [np.asarray(o) for o in jax.device_get(res["outputs"])]
-                    if self.save_images else None
-                )
-                for b in range(n_valid):
-                    acc.update([cm[b] for cm in cms])
-                    if self.save_images:
-                        scores = [o[b : b + 1] for o in outputs]
-                        targets = [
-                            np.asarray(t[b : b + 1])
-                            for t in tree.split_levels(y, axis=-1)
-                        ]
-                        self._dump(scores, targets, img_idx + b)
-            else:
-                logits = np.asarray(jax.device_get(res["outputs"][0]))
-                for b in range(n_valid):
-                    leaf_oh = np.eye(tree.num_leaves, dtype=np.float32)[
-                        np.argmax(logits[b : b + 1], -1)
-                    ]
-                    scores = reconstruct_levels_from_leaves(leaf_oh, tree)
-                    targets = reconstruct_levels_from_leaves(
-                        np.asarray(y[b : b + 1], np.float32), tree
-                    )
-                    cms = [
-                        np.asarray(c)
-                        for c in level_confusion_matrices(scores, targets)
-                    ]
-                    acc.update(cms)
-                    if self.save_images:
-                        self._dump(scores, targets, img_idx + b)
-            img_idx += n_valid
+            pending.append((res, n_valid, y))
+            if len(pending) > self.inflight:
+                img_idx = self._consume(*pending.popleft(), acc, img_idx)
+        while pending:
+            img_idx = self._consume(*pending.popleft(), acc, img_idx)
+        self.loader.close()
         return self._write_csv(acc)
+
+    def _consume(self, res, n_valid: int, y, acc: "MetricAccumulator",
+                 img_idx: int) -> int:
+        """Fetch one dispatched batch's results and fold them into ``acc``."""
+        tree = self.tree
+        if self.cfg.hierarchical:
+            cms = [np.asarray(c) for c in jax.device_get(res["confmats"])]
+            outputs = (
+                [np.asarray(o) for o in jax.device_get(res["outputs"])]
+                if self.save_images else None
+            )
+            for b in range(n_valid):
+                acc.update([cm[b] for cm in cms])
+                if self.save_images:
+                    scores = [o[b : b + 1] for o in outputs]
+                    targets = [
+                        np.asarray(t[b : b + 1])
+                        for t in tree.split_levels(y, axis=-1)
+                    ]
+                    self._dump(scores, targets, img_idx + b)
+        else:
+            logits = np.asarray(jax.device_get(res["outputs"][0]))
+            for b in range(n_valid):
+                leaf_oh = np.eye(tree.num_leaves, dtype=np.float32)[
+                    np.argmax(logits[b : b + 1], -1)
+                ]
+                scores = reconstruct_levels_from_leaves(leaf_oh, tree)
+                targets = reconstruct_levels_from_leaves(
+                    np.asarray(y[b : b + 1], np.float32), tree
+                )
+                cms = [
+                    np.asarray(c)
+                    for c in level_confusion_matrices(scores, targets)
+                ]
+                acc.update(cms)
+                if self.save_images:
+                    self._dump(scores, targets, img_idx + b)
+        return img_idx + n_valid
 
     def _dump(self, scores, targets, i):
         """Per-class binary PNGs named after the source label file

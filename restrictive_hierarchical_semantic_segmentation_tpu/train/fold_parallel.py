@@ -298,6 +298,7 @@ class FoldParallelTrainer:
         from ..utils.profiling import trace
 
         profile = cfg.profile_dir if epoch == 2 else None
+        probe = max(0, int(cfg.nan_probe_every))
         with trace(profile):
             for x, y in prefetch_to_device(
                 self._stacked_batches(epoch), 2, self.batch_shard
@@ -305,6 +306,17 @@ class FoldParallelTrainer:
                 self.state, aux = self.train_step(self.state, x, y, mask)
                 device_aux.append(aux)
                 n += 1
+                if probe and n % probe == 0:
+                    # periodic fail-fast across all folds (one scalar-vector
+                    # fetch; bounds garbage-step blast radius to `probe`)
+                    lv = np.asarray(jax.device_get(aux["loss"]))
+                    if not np.all(np.isfinite(lv)):
+                        bad = int(np.argmax(~np.isfinite(lv)))
+                        raise FloatingPointError(
+                            f"non-finite loss {lv[bad]} in fold "
+                            f"{self.fold_ids[bad]} at epoch {epoch} "
+                            f"step {n - 1}"
+                        )
         all_aux = jax.device_get(device_aux)
         dt = time.time() - t0
 
@@ -416,6 +428,13 @@ class FoldParallelTrainer:
             c.wait()  # drain async saves before files are consumed
         return [c.prev_best for c in self.ckpts]
 
+    def close(self):
+        """Release all folds' loader worker pools (process pools hold OS
+        processes; F folds x2 loaders otherwise leak until exit)."""
+        for ld in (*self.train_loaders, *self.val_loaders):
+            if hasattr(ld, "close"):
+                ld.close()
+
 
 def train_folds_parallel(cfg: RunConfig, tree: Optional[ClassTree] = None,
                          fold_ids: Optional[List[int]] = None):
@@ -430,4 +449,7 @@ def train_folds_parallel(cfg: RunConfig, tree: Optional[ClassTree] = None,
     print(f"Fold-parallel training: folds {fold_ids} as one vmapped program")
     trainer = FoldParallelTrainer(cfg, tree, fold_ids)
     print(f"mesh: {dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape))}")
-    return trainer.run()
+    try:
+        return trainer.run()
+    finally:
+        trainer.close()

@@ -289,6 +289,16 @@ class Trainer:
                     "num_bad_epochs": int(meta.get("sched_num_bad_epochs", 0)),
                 })
 
+    def _check_finite(self, loss_val: float, epoch: int, step_idx: int, aux):
+        """Failure detection the reference lacks (SURVEY §5.3): fail fast
+        with context instead of training on garbage."""
+        if not np.isfinite(loss_val):
+            raise FloatingPointError(
+                f"non-finite loss {loss_val} at epoch {epoch} "
+                f"step {step_idx} (lr={self.state.lr():.2e}); per-level "
+                f"losses: {np.asarray(jax.device_get(aux['per_level'])).tolist()}"
+            )
+
     # ------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int):
         cfg = self.cfg
@@ -308,6 +318,7 @@ class Trainer:
         # force a host sync each step and serialize dispatch); everything is
         # fetched in one transfer after the last step
         device_aux = []
+        probe = max(0, int(cfg.nan_probe_every))
         with trace(profile):
             for x, y in prefetch_to_device(
                 self.train_loader, 2, self.batch_shard
@@ -315,18 +326,17 @@ class Trainer:
                 self.state, aux = self.train_step(self.state, x, y, mask)
                 device_aux.append(aux)
                 n += 1
+                if probe and n % probe == 0:
+                    # periodic fail-fast: one scalar fetch (host sync) every
+                    # `probe` steps bounds the garbage-step blast radius while
+                    # keeping the on-device aux pipelining for the epoch
+                    self._check_finite(float(jax.device_get(aux["loss"])),
+                                       epoch, n - 1, aux)
         all_aux = jax.device_get(device_aux)
         dt = time.time() - t0
         for step_idx, aux in enumerate(all_aux):
             loss_val = float(aux["loss"])
-            if not np.isfinite(loss_val):
-                # failure detection the reference lacks (SURVEY §5.3):
-                # fail fast with context instead of training on garbage
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at epoch {epoch} "
-                    f"step {step_idx} (lr={self.state.lr():.2e}); per-level "
-                    f"losses: {np.asarray(aux['per_level']).tolist()}"
-                )
+            self._check_finite(loss_val, epoch, step_idx, aux)
             losses.append(loss_val)
             level_losses += np.asarray(aux["per_level"])
             acc.update([np.asarray(c) for c in aux["confmats"]])
@@ -354,6 +364,13 @@ class Trainer:
 
     def _dump_images(self, outputs, epoch: int):
         dump_prediction_images(outputs, self.save_loc, epoch)
+
+    def close(self):
+        """Release loader worker pools (process pools hold OS processes —
+        without this a 5-fold --loader process run leaks ~10 spawn pools)."""
+        for ld in (self.train_loader, self.val_loader):
+            if hasattr(ld, "close"):
+                ld.close()
 
     def run(self):
         cfg = self.cfg
@@ -482,5 +499,8 @@ def train(cfg: RunConfig) -> List[Optional[float]]:
                 fold_cfg = replace(cfg, model_weights=last)
                 print(f"Auto-resuming fold {fold} from {last}")
         trainer = Trainer(fold_cfg, tree, train_root, val_root, save_loc)
-        results.append(trainer.run())
+        try:
+            results.append(trainer.run())
+        finally:
+            trainer.close()
     return results

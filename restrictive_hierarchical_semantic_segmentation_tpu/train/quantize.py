@@ -26,6 +26,7 @@ baked as int8 constants, so quantized serving also halves weight HBM traffic.
 """
 from __future__ import annotations
 
+import re
 from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import flax.linen as nn
@@ -117,17 +118,29 @@ def calibrate(
     return scales
 
 
+_HEAD_RE = re.compile(r"(^|/)head_(l\d+|flat)($|/)")
+
+
+def default_skip(path: str) -> bool:
+    """True for the per-level logits heads (kept float by default).
+
+    Matches only ``head_l<N>``/``head_flat`` path components — NOT
+    ``shared_head_conv`` (hrnet.py), which int8_experiment.py measured as
+    the largest int8 win and must stay quantized."""
+    return _HEAD_RE.search(path) is not None
+
+
 def make_quant_interceptor(
     act_scales: Dict[str, float],
     skip: Optional[Callable[[str], bool]] = None,
 ):
     """Interceptor running every covered ``nn.Conv`` in int8.
 
-    ``skip(path) -> True`` keeps that conv in float (default: per-level
-    heads — paths containing ``head_``)."""
+    ``skip(path) -> True`` keeps that conv in float (default: the
+    per-level logits heads only — ``head_l<N>``/``head_flat`` — NOT the
+    720-ch ``shared_head_conv``, which is the largest measured int8 win)."""
     if skip is None:
-        def skip(path: str) -> bool:
-            return "head_" in path
+        skip = default_skip
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module

@@ -44,7 +44,14 @@ class Predictor:
     composed probabilities and their argmax class maps (``logits`` is None —
     averaging logits across independently-trained folds has no probabilistic
     meaning). Ensembling composes with everything except ``quantize``
-    (per-fold activation scales would need per-fold closures)."""
+    (per-fold activation scales would need per-fold closures).
+
+    Without ``mesh``, the ensemble serves from the default device (all F
+    folds' weights on one chip — fine on a v5e with <=5 W48 folds, but the
+    other chips idle). Pass a ``Mesh`` with a ``fold`` axis to shard the
+    stacked fold weights over chips: each fold's forward runs on its own
+    device group (shard_map-manual fold axis, like fold-parallel training)
+    and the fold-mean rides one ``pmean`` over ICI."""
 
     @staticmethod
     def fold_checkpoints(run_dir: str, which: str = "best") -> List[str]:
@@ -70,7 +77,8 @@ class Predictor:
                  tree: Optional[ClassTree] = None,
                  quantize: bool = False,
                  calib_batches: Optional[List[np.ndarray]] = None,
-                 outputs: Sequence[str] = ("logits", "probs", "class_maps")):
+                 outputs: Sequence[str] = ("logits", "probs", "class_maps"),
+                 mesh=None):
         from ..utils.compile_cache import enable
 
         enable()
@@ -171,29 +179,89 @@ class Predictor:
             # constants: F x the weight constants would bloat the program
             # (and exceed remote-compile payload limits); they live on
             # device once and are passed by reference per call
-            self._stacked = jax.device_put(jax.tree_util.tree_map(
+            stacked = jax.tree_util.tree_map(
                 lambda *ls: jnp.stack(ls), *all_variables
-            ))
+            )
+            if mesh is None:
+                # single-device ensemble: all F folds' weights and the
+                # vmapped forward live on the default device — F x W48
+                # weights may pressure one chip's HBM; pass a mesh with a
+                # 'fold' axis to shard folds over chips instead
+                self._stacked = jax.device_put(stacked)
 
-            @jax.jit
-            def _ens(stacked, x):
-                def one(v):
-                    out = apply_fn(v, x, train=False)
-                    probs = out.probs_per_level
-                    if probs is None:  # flat model: ensemble in prob space
-                        probs = [jax.nn.softmax(z, -1)
-                                 for z in out.logits_per_level]
-                    return tuple(probs)
+                @jax.jit
+                def _ens(stacked, x):
+                    def one(v):
+                        out = apply_fn(v, x, train=False)
+                        probs = out.probs_per_level
+                        if probs is None:  # flat: ensemble in prob space
+                            probs = [jax.nn.softmax(z, -1)
+                                     for z in out.logits_per_level]
+                        return tuple(probs)
 
-                fold_probs = jax.vmap(one)(stacked)  # each (F, B, H, W, C)
-                probs = [p.mean(0) for p in fold_probs]
-                class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
-                              for p in probs]
-                return _select({
-                    "logits": None,
-                    "probs": probs,
-                    "class_maps": class_maps,
-                })
+                    fold_probs = jax.vmap(one)(stacked)  # (F, B, H, W, C)
+                    probs = [p.mean(0) for p in fold_probs]
+                    class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
+                                  for p in probs]
+                    return _select({
+                        "logits": None,
+                        "probs": probs,
+                        "class_maps": class_maps,
+                    })
+            else:
+                # multi-chip ensemble: fold axis MANUAL under shard_map
+                # (mirrors fold-parallel training — train/fold_parallel.py;
+                # pure vmap+GSPMD leaks fold shardings into conv backward),
+                # each fold's forward on its own device, fold-mean via pmean
+                # over ICI. Input is replicated; weights shard P('fold').
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import FOLD_AXIS
+
+                if FOLD_AXIS not in mesh.axis_names:
+                    raise ValueError(
+                        f"Predictor mesh needs a '{FOLD_AXIS}' axis; got "
+                        f"{mesh.axis_names}")
+                n_fold = mesh.shape[FOLD_AXIS]
+                if len(paths) % n_fold != 0:
+                    raise ValueError(
+                        f"{len(paths)} fold checkpoints do not divide the "
+                        f"mesh '{FOLD_AXIS}' axis of size {n_fold}")
+                self._stacked = jax.device_put(
+                    stacked, NamedSharding(mesh, P(FOLD_AXIS)))
+
+                def _per_shard(stacked_shard, x):
+                    # local shard: (F/n_fold, ...) weights; vmap the local
+                    # folds, then average across the fold axis devices
+                    def one(v):
+                        out = apply_fn(v, x, train=False)
+                        probs = out.probs_per_level
+                        if probs is None:
+                            probs = [jax.nn.softmax(z, -1)
+                                     for z in out.logits_per_level]
+                        return tuple(probs)
+
+                    local = jax.vmap(one)(stacked_shard)
+                    return tuple(
+                        jax.lax.pmean(p.mean(0), FOLD_AXIS) for p in local
+                    )
+
+                sharded = jax.shard_map(
+                    _per_shard, mesh=mesh,
+                    in_specs=(P(FOLD_AXIS), P()), out_specs=P(),
+                    axis_names=frozenset({FOLD_AXIS}),
+                )
+
+                @jax.jit
+                def _ens(stacked, x):
+                    probs = list(sharded(stacked, x))
+                    class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
+                                  for p in probs]
+                    return _select({
+                        "logits": None,
+                        "probs": probs,
+                        "class_maps": class_maps,
+                    })
 
             def _fn(x):
                 return _ens(self._stacked, x)

@@ -220,3 +220,20 @@ def test_quantized_predict_eval_runs(tmp_path, assets_dir, monkeypatch,
     mf = np.array([c["dice"] for c in res_f[0]["per_class"]])
     mq = np.array([c["dice"] for c in res_q[0]["per_class"]])
     assert np.abs(mf - mq).max() < 0.05, (mf, mq)
+
+
+def test_default_skip_matches_heads_only():
+    """The default float-skip covers the per-level logits heads but NOT the
+    720-ch shared_head_conv (hrnet.py:327) — the largest measured int8 win
+    (tools/int8_experiment.py) must actually be quantized."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.quantize import (
+        default_skip,
+    )
+
+    assert default_skip("head_l0")
+    assert default_skip("head_l12")
+    assert default_skip("head_flat")
+    assert default_skip("wrapper/head_l1")
+    assert not default_skip("backbone/shared_head_conv")
+    assert not default_skip("backbone/stage4_m0_b1_conv2")
+    assert not default_skip("overhead_conv")

@@ -44,6 +44,7 @@ def main():
         build_model,
     )
     from restrictive_hierarchical_semantic_segmentation_tpu.train.quantize import (
+        default_skip,
         calibrate,
         quantized_apply,
     )
@@ -108,7 +109,7 @@ def main():
         "speedup": round(tb / tq, 3),
         "mean_abs_prob_delta": round(prob_delta, 5),
         "argmax_agreement": round(agree, 5),
-        "n_quantized_convs": sum(1 for k in scales if "head_" not in k),
+        "n_quantized_convs": sum(1 for k in scales if not default_skip(k)),
     }))
 
 
