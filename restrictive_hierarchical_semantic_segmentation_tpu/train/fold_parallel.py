@@ -79,8 +79,10 @@ class FoldParallelTrainer:
         # device) ------------------------------------------------------------
         if cfg.n_space > 1:
             # composing the manual fold axis with spatial sharding trips an
-            # XLA GSPMD CHECK failure (PartitionGather /
-            # ExpandDeviceGroupsWithIota) in this jax/XLA version; fold
+            # XLA GSPMD CHECK failure (spmd_partitioner_util.cc
+            # partition_group_list CHECK via PartitionGather /
+            # ExpandDeviceGroupsWithIota; minimal repro:
+            # tools/fold_space_repro.py, re-confirmed round 3); fold
             # parallelism composes with data parallelism only
             raise ValueError(
                 "--fold-parallel does not compose with --n-space > 1 "
