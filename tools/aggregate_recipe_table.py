@@ -1,0 +1,159 @@
+"""Full-recipe 5-fold synthetic-run evaluation + BASELINE.md-format table
+(VERDICT r2 "Next round" #2).
+
+After tools/make_synth_tlpano.py + the full reference-recipe training runs
+(README.md:71-91 commands: 620px, batch 4, 80 epochs, AdamW + plateau LR,
+reference level weights) produce /tmp/recipe_runs/{hier,flat}_{hrnet,unet},
+this tool:
+
+  --eval  : runs the predict_eval CLI per config over all 5 folds (TPU;
+            reuses the cached eval-step compile from training's val passes)
+            -> ./Predictions/recipe_<cfg>/fold_N/metrics.csv
+  --table : aggregates those metrics.csv files into the BASELINE.md table
+            format — per-class IoU/Dice/Prec/Rec mean +- std over folds,
+            flat vs hierarchical side by side, bold = better — one table
+            per backbone, printed as markdown for BENCHMARKS.md.
+
+Class rows follow ClassTree.names channel order, which matches the
+reference results table's row order (git_images/results_table.png):
+background, upper, lower, tooth, pulp, dentin, enamel, composite.
+Flat models are scored on the same per-level classes via the descendant-
+union parent reconstruction (predictEval.py:85-129, 381-386 semantics),
+so the flat/hier columns are directly comparable.
+"""
+import argparse
+import csv
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+CONFIGS = {
+    "hier_hrnet": dict(msel=1, mtype=1),
+    "flat_hrnet": dict(msel=1, mtype=0),
+    "hier_unet": dict(msel=0, mtype=1),
+    "flat_unet": dict(msel=0, mtype=0),
+}
+CLASS_NAMES = ["Background", "Upper", "Lower", "Tooth",
+               "Pulp", "Dentin", "Enamel", "Composite"]
+METRICS = ["IoU", "Dice", "Precision", "Recall"]
+
+
+def run_eval(runs_root, data_root, folds, img, val_batch, dtype):
+    from restrictive_hierarchical_semantic_segmentation_tpu.cli import (
+        predict_eval as pe,
+    )
+
+    for name, c in CONFIGS.items():
+        weights = os.path.join(runs_root, name)
+        if not os.path.isdir(weights):
+            print(f"skip {name}: {weights} missing", flush=True)
+            continue
+        argv = [
+            "--save-loc", f"recipe_{name}",
+            "--full-ds", data_root,
+            "--tree-root", os.path.join(HERE, "assets/class_tree_tl.json"),
+            "--class-map", os.path.join(HERE, "assets/class_map.csv"),
+            "--model-weights", weights,
+            "--img-size", str(img),
+            "--model-select", str(c["msel"]),
+            "--model-type", str(c["mtype"]),
+            "--inc-cross-val", "True", "--folds", str(folds),
+            "--val-batch", str(val_batch),
+            "--compute-dtype", dtype,
+            "--save-images", "False",
+        ]
+        print(f"=== predict_eval {name} ===", flush=True)
+        pe.main(argv)
+
+
+def _load(cfg_name, folds):
+    """-> {class_idx: {metric: [per-fold values]}} plus 'Average' row."""
+    out = {}
+    for fold in range(1, folds + 1):
+        path = os.path.join(HERE, "Predictions", f"recipe_{cfg_name}",
+                            f"fold_{fold}", "metrics.csv")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                key = ("Average" if row["Type"] == "Average"
+                       else int(row["Class"]))
+                d = out.setdefault(key, {m: [] for m in METRICS})
+                for m in METRICS:
+                    d[m].append(float(row[m]))
+    return out
+
+
+def _fmt(vals):
+    import numpy as np
+
+    return f"{np.mean(vals):.3f} ±{np.std(vals):.3f}"
+
+
+def _cell(flat_vals, hier_vals, which):
+    """Markdown cell, bolded if this side wins on the mean (source-figure
+    convention). Ties: both bold."""
+    import numpy as np
+
+    mine = flat_vals if which == "flat" else hier_vals
+    other = hier_vals if which == "flat" else flat_vals
+    s = _fmt(mine)
+    if other is None:
+        return s
+    return f"**{s}**" if np.mean(mine) >= np.mean(other) else s
+
+
+def table(folds):
+    lines = []
+    for backbone, flat_name, hier_name in (
+            ("UNet", "flat_unet", "hier_unet"),
+            ("HRNet (W48)", "flat_hrnet", "hier_hrnet")):
+        flat = _load(flat_name, folds)
+        hier = _load(hier_name, folds)
+        if flat is None or hier is None:
+            lines.append(f"### {backbone}: metrics.csv incomplete — run "
+                         f"--eval first ({flat_name}={flat is not None}, "
+                         f"{hier_name}={hier is not None})")
+            continue
+        lines.append(f"### {backbone}")
+        lines.append("")
+        lines.append("| Class | IoU (flat) | Dice (flat) | Prec (flat) | "
+                     "Rec (flat) | IoU (hier) | Dice (hier) | Prec (hier) "
+                     "| Rec (hier) |")
+        lines.append("|---|---|---|---|---|---|---|---|---|")
+        rows = [("Average", "Average")] + [
+            (i, CLASS_NAMES[i]) for i in range(len(CLASS_NAMES))]
+        for key, label in rows:
+            # column order in the reference table: all flat, then all hier
+            flat_cells = [_cell(flat[key][m], hier[key][m], "flat")
+                          for m in METRICS]
+            hier_cells = [_cell(flat[key][m], hier[key][m], "hier")
+                          for m in METRICS]
+            lines.append("| " + " | ".join([label] + flat_cells + hier_cells)
+                         + " |")
+        lines.append("")
+    print("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--table", action="store_true")
+    ap.add_argument("--runs-root", default="/tmp/recipe_runs")
+    ap.add_argument("--data-root", default="/tmp/tlpano_synth")
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--img", type=int, default=620)
+    ap.add_argument("--val-batch", type=int, default=4)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+    if args.eval:
+        run_eval(args.runs_root, args.data_root, args.folds, args.img,
+                 args.val_batch, args.compute_dtype)
+    if args.table:
+        table(args.folds)
+
+
+if __name__ == "__main__":
+    main()
