@@ -55,6 +55,11 @@ def main():
                          "replicas (cross-val folds) trained in one "
                          "shard_map/vmap step, fold axis over the mesh; "
                          "value reports AGGREGATE images/sec/chip")
+    ap.add_argument("--resize-method", default="gather",
+                    choices=["gather", "matmul"],
+                    help="bilinear-resize formulation (ops/resize.py): "
+                         "gather/lerp passes vs the gather-free banded-"
+                         "matmul contraction (MXU instead of gather path)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +90,13 @@ def main():
     from restrictive_hierarchical_semantic_segmentation_tpu.train.steps import (
         make_train_step,
     )
+
+    if args.resize_method != "gather":
+        from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (  # noqa: E501
+            set_default_method,
+        )
+
+        set_default_method(args.resize_method)
 
     tree_file = ("class_tree_tl_extended.json" if args.tree == "extended"
                  else "class_tree_tl.json")
@@ -244,6 +256,7 @@ def main():
                   f"{'' if args.model != 'hrnet' or args.width == 'w48' else '_' + args.width}"
                   f"{'' if args.folds <= 1 else f'_folds{args.folds}'}"
                   f"{'' if args.grad_accum <= 1 else f'_ga{args.grad_accum}'}"
+                  f"{'' if args.resize_method == 'gather' else '_mmresize'}"
                   f"_{S}px_b{B}_train_step_throughput",
         "value": round(ips_per_chip, 3),
         "unit": "images_per_sec_per_chip",

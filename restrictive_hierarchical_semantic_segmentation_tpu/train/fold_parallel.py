@@ -78,17 +78,23 @@ class FoldParallelTrainer:
         # --- mesh (first: device-data loaders upload straight to their fold
         # device) ------------------------------------------------------------
         if cfg.n_space > 1:
-            # composing the manual fold axis with spatial sharding trips an
-            # XLA GSPMD CHECK failure (spmd_partitioner_util.cc
-            # partition_group_list CHECK via PartitionGather /
-            # ExpandDeviceGroupsWithIota; minimal repro:
-            # tools/fold_space_repro.py, re-confirmed round 3); fold
-            # parallelism composes with data parallelism only
-            raise ValueError(
-                "--fold-parallel does not compose with --n-space > 1 "
-                "(XLA partial-manual partitioner limitation); use "
-                "sequential folds (--fold N) for spatially-sharded runs"
-            )
+            # the gather/lerp resize gathers along the space-sharded H axis,
+            # which trips an XLA GSPMD CHECK under the partial-manual fold
+            # mesh (spmd_partitioner_util.cc partition_group_list CHECK via
+            # PartitionGather / ExpandDeviceGroupsWithIota; repro:
+            # tools/fold_space_repro.py --resize gather). The banded-matmul
+            # resize formulation (ops/resize.py) is numerically identical,
+            # contains no gather, and partitions cleanly — make it the
+            # default for every trace this trainer owns (train + eval steps;
+            # resolved before the jit boundary, so compile caches are keyed
+            # by formulation)
+            from ..ops.resize import get_default_method, set_default_method
+
+            self._restore_resize = get_default_method()
+            set_default_method("matmul")
+            print("fold x space mesh: resize switched to the gather-free "
+                  "matmul formulation (XLA partial-manual partitioner "
+                  "rejects gathers on the space-sharded axis)")
         self.mesh = make_fold_mesh(F, cfg.batch_size, cfg.n_space)
         n_fold_mesh, n_data_mesh, n_space_mesh = self.mesh.devices.shape
         # device-data + one-device-per-fold mesh: each fold's resident
@@ -432,10 +438,16 @@ class FoldParallelTrainer:
 
     def close(self):
         """Release all folds' loader worker pools (process pools hold OS
-        processes; F folds x2 loaders otherwise leak until exit)."""
+        processes; F folds x2 loaders otherwise leak until exit) and restore
+        the process resize default if the space mesh switched it."""
         for ld in (*self.train_loaders, *self.val_loaders):
             if hasattr(ld, "close"):
                 ld.close()
+        if getattr(self, "_restore_resize", None) is not None:
+            from ..ops.resize import set_default_method
+
+            set_default_method(self._restore_resize)
+            self._restore_resize = None
 
 
 def train_folds_parallel(cfg: RunConfig, tree: Optional[ClassTree] = None,

@@ -228,13 +228,27 @@ class TestFoldParallelTraining:
         with pytest.raises(ValueError, match="auto-resume"):
             train(cfg)
 
-    def test_rejects_space_sharding(self, two_fold_data, tmp_path):
-        # fold (manual) x space sharding trips an XLA GSPMD CHECK failure in
-        # this jax/XLA version — must refuse loudly, not crash the compiler
-        cfg = _cfg(two_fold_data, str(tmp_path / "y"), fold_parallel=True,
-                   n_space=2)
-        with pytest.raises(ValueError, match="n-space"):
-            train(cfg)
+    def test_composes_with_space_sharding(self, two_fold_data, tmp_path):
+        # fold (manual) x space (auto) in one program: the gather/lerp resize
+        # trips an XLA GSPMD CHECK under this mesh (PartitionGather /
+        # ExpandDeviceGroupsWithIota; repro: tools/fold_space_repro.py
+        # --resize gather), so the trainer auto-switches to the gather-free
+        # banded-matmul resize (ops/resize.py) for its traces — and restores
+        # the process default afterwards
+        from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (  # noqa: E501
+            get_default_method,
+        )
+
+        assert get_default_method() == "gather"
+        out = str(tmp_path / "fs")
+        train(_cfg(two_fold_data, out, fold_parallel=True, epochs=1,
+                   n_space=2))
+        assert get_default_method() == "gather"  # restored by close()
+        for fold in (1, 2):
+            rows = _read_csv_rows(
+                os.path.join(out, f"fold_{fold}", "metrics.csv"))
+            assert [r[0] for r in rows] == ["Epoch", "1"]
+            assert np.isfinite(float(rows[1][1]))
 
     def test_composes_with_grad_accum(self, two_fold_data, tmp_path):
         # fold axis (shard_map) x microbatch scan (grad_accum) in one program

@@ -27,6 +27,37 @@ def test_resize_matches_torch(align, shape, size):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("shape,size", [((2, 17, 23, 3), (34, 46)),
+                                        ((1, 8, 8, 4), (620, 620)),
+                                        ((2, 33, 31, 2), (16, 16)),
+                                        ((2, 16, 16, 3), (16, 16))])
+def test_resize_matmul_formulation_parity(align, shape, size):
+    """The gather-free banded-matmul resize (used under fold x space meshes,
+    where XLA's partial-manual partitioner rejects gathers on the sharded
+    axis) is the same interpolation up to fp reassociation."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(shape).astype(np.float32)
+    g = np.asarray(resize_bilinear(x, size, align, method="gather"))
+    m = np.asarray(resize_bilinear(x, size, align, method="matmul"))
+    np.testing.assert_allclose(m, g, rtol=1e-5, atol=1e-6)
+    if size == (shape[1], shape[2]):
+        np.testing.assert_array_equal(m, x)  # identity matrix case
+
+
+def test_resize_method_context():
+    from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (
+        get_default_method, resize_method,
+    )
+
+    assert get_default_method() == "gather"
+    with resize_method("matmul"):
+        assert get_default_method() == "matmul"
+    assert get_default_method() == "gather"
+    with pytest.raises(ValueError):
+        resize_method("nearest").__enter__()
+
+
 def _torch_grouped_softmax(z, p_prev, groups, level_prev_names):
     """Oracle: the reference's python loop (models.py:286-301), in torch NCHW."""
     eps = 1e-6

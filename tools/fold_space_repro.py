@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["auto", "manual"], default="auto")
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--resize", choices=["gather", "matmul"], default="gather",
+                    help="resize formulation: the gather/lerp passes are the "
+                         "PartitionGather trigger; 'matmul' is the gather-free "
+                         "banded-contraction formulation (ops/resize.py)")
     args = ap.parse_args()
 
     import jax
@@ -79,9 +83,14 @@ def main():
         axis_names=frozenset(manual),
         check_vma=False,
     ))
-    _, aux = fstep(fstate, jax.device_put(np.stack([x] * F), fb),
-                   jax.device_put(np.stack([y] * F), fb),
-                   jnp.ones((tree.num_levels,), jnp.float32))
+    from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (
+        resize_method,
+    )
+
+    with resize_method(args.resize):
+        _, aux = fstep(fstate, jax.device_put(np.stack([x] * F), fb),
+                       jax.device_put(np.stack([y] * F), fb),
+                       jnp.ones((tree.num_levels,), jnp.float32))
     losses = np.asarray(jax.device_get(aux["loss"]))
     print(f"SURVIVED: losses={losses.tolist()}")
 
