@@ -21,11 +21,24 @@ __all__ = ["synth_sample", "write_synth_dataset"]
 
 
 def synth_sample(
-    rng: np.random.Generator, size: int = 128
+    rng: np.random.Generator, size: int = 128, hard: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (image uint8 (S,S), mask uint8 (S,S)) with class_map pixel codes:
     background=0, upper=212, lower=255, pulp=127, dentin=170, enamel=85,
-    composite=42."""
+    composite=42.
+
+    ``hard=True`` (the full-recipe accuracy-table mode, tools/
+    make_synth_tlpano.py) makes the task test the capability the paper
+    actually claims (README.md:10-12): it scatters distractor blobs OUTSIDE
+    the tooth classes whose luminance mimics the tooth-interior classes
+    (pulp/dentin/enamel/composite), and jitters the per-image luminance map.
+    Appearance alone then no longer identifies a fine class — a pulp-looking
+    blob in the jaw bone is NOT pulp — which is precisely the false-positive
+    mode the restrictive composition ``P_child = P_parent * Q`` suppresses
+    structurally (child probability gated by the parent mask,
+    models.py:296-297) while a flat leaf softmax must learn it from data.
+    Default ``False`` keeps the easy, near-separable rendering for smoke
+    tests and benches."""
     s = size
     mask = np.zeros((s, s), np.uint8)
     mid = s // 2
@@ -52,9 +65,35 @@ def synth_sample(
                         (max(1, a // 3), max(1, b // 5)), 0, 0, 360, 42, -1)
     # image: noisy rendering of the anatomy
     img = np.zeros((s, s), np.float32)
-    for pv, lum in ((212, 90), (255, 110), (170, 170), (85, 220), (127, 60),
-                    (42, 240)):
+    lum_map = {212: 90.0, 255: 110.0, 170: 170.0, 85: 220.0, 127: 60.0,
+               42: 240.0}
+    if hard:
+        # per-image global + per-class luminance jitter: defeats pure
+        # per-pixel thresholding across the dataset
+        g = rng.uniform(-20, 20)
+        lum_map = {pv: lum + g + rng.uniform(-10, 10)
+                   for pv, lum in lum_map.items()}
+    for pv, lum in lum_map.items():
         img[mask == pv] = lum
+    if hard:
+        # distractor blobs OUTSIDE the tooth classes, rendered with
+        # tooth-interior luminances (pulp/dentin/enamel/composite lookalikes
+        # in the background and jaw bone). They change the IMAGE only — the
+        # mask keeps its true class — so fine-class appearance is ambiguous
+        # without the parent context the hierarchy encodes.
+        dist = np.zeros((s, s), np.float32)
+        for _ in range(int(rng.integers(6, 14))):
+            dx = int(rng.uniform(0.03, 0.97) * s)
+            dy = int(rng.uniform(0.03, 0.97) * s)
+            da = max(2, int(rng.uniform(0.015, 0.06) * s))
+            db = max(3, int(rng.uniform(0.02, 0.09) * s))
+            ang = float(rng.uniform(0, 180))
+            lum = float(lum_map[int(rng.choice([127, 170, 85, 42]))]
+                        + rng.uniform(-8, 8))
+            cv2.ellipse(dist, (dx, dy), (da, db), ang, 0, 360, lum, -1)
+        outside_teeth = ~np.isin(mask, (85, 170, 127, 42))
+        hit = outside_teeth & (dist > 0)
+        img[hit] = dist[hit]
     img += rng.normal(0, 12, (s, s)).astype(np.float32)
     img = cv2.GaussianBlur(img, (5, 5), 1.2)
     return np.clip(img, 0, 255).astype(np.uint8), mask

@@ -31,6 +31,29 @@ def test_leaf_masks_partition(default_tree):
     assert (lm[..., 5] == (mask == 85)).all()   # enamel
 
 
+def test_synth_sample_hard_mode(default_tree):
+    """Hard mode (the accuracy-table dataset, tools/make_synth_tlpano.py)
+    changes the IMAGE only: class masks stay valid class_map codes, and the
+    background/jaw regions gain blobs with tooth-interior luminances so that
+    fine-class appearance is ambiguous without parent context."""
+    rng = np.random.default_rng(7)
+    img_e, mask_e = synth_sample(rng, 128, hard=False)
+    rng = np.random.default_rng(7)
+    img_h, mask_h = synth_sample(rng, 128, hard=True)
+    # valid pixel codes only, both modes
+    codes = {0, 42, 85, 127, 170, 212, 255}
+    assert set(np.unique(mask_h)) <= codes
+    assert set(np.unique(mask_e)) <= codes
+    # hard mode must put tooth-interior-like bright pixels OUTSIDE the tooth
+    # classes (the easy render keeps background near 0 and jaws near 90-110)
+    outside = ~np.isin(mask_h, (85, 170, 127, 42))
+    assert (img_h[outside] > 140).sum() > (img_e[~np.isin(
+        mask_e, (85, 170, 127, 42))] > 140).sum()
+    # distractors never flip mask labels
+    lm = leaf_masks(mask_h, default_tree)
+    assert (lm.sum(-1) == 1).all()
+
+
 def test_node_masks_parent_is_union(default_tree):
     rng = np.random.default_rng(1)
     _, mask = synth_sample(rng, 64)

@@ -34,10 +34,19 @@ def main():
     ap.add_argument("--size", type=int, default=620)
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--easy", action="store_true",
+                    help="disable hard mode (hard mode — the default here — "
+                         "adds tooth-interior-lookalike distractor blobs "
+                         "outside the tooth classes + per-image luminance "
+                         "jitter, so fine-class appearance is ambiguous "
+                         "without parent context; that is the failure mode "
+                         "the restrictive hierarchy suppresses, i.e. the "
+                         "capability the accuracy table is meant to probe)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    pool = [synth_sample(rng, args.size) for _ in range(args.n)]
+    pool = [synth_sample(rng, args.size, hard=not args.easy)
+            for _ in range(args.n)]
     perm = rng.permutation(args.n)
     fold_of = np.empty(args.n, np.int64)
     for rank, idx in enumerate(perm):
