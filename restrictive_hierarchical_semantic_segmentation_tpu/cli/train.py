@@ -76,6 +76,13 @@ def get_args(argv=None):
                    # "false" | "true"/"module" (full per-module recompute) |
                    # "conv" (save conv outputs only — lighter memory knob)
                    help="rematerialize backbone re-runs (memory for FLOPs)")
+    p.add_argument("--best-save", type=str, default="every",
+                   choices=("every", "end"),
+                   help="best.ckpt policy: 'every' improvement hits disk "
+                        "(reference durability) or 'end' keeps the best "
+                        "state on device and writes once per fold — avoids "
+                        "a ~30s full-state fetch per improving epoch on "
+                        "slow host links")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="last.ckpt cadence in epochs (best always saves on "
                         "improvement; final epoch always saves)")
@@ -140,6 +147,7 @@ def config_from_args(args):
         level_weights=lw,
         level0_pretrain_epochs=args.level0_pretrain_epochs,
         ckpt_every=args.ckpt_every,
+        best_save=args.best_save,
         grad_accum=args.grad_accum,
         lambda_cons=args.lambda_cons,
         lambda_kl=args.lambda_kl,

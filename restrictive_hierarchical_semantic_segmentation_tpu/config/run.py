@@ -67,6 +67,13 @@ class RunConfig:
     # off-cadence epochs — the dominant per-epoch cost on slow host links;
     # the final epoch always saves. Resume granularity becomes N epochs.
     ckpt_every: int = 1
+    # best.ckpt policy: "every" = hit disk on every improvement (reference
+    # train.py:666-686 durability); "end" = keep the best state as a device-
+    # side HBM copy (~0.1 s) and materialize best.ckpt once at fold end —
+    # the right mode on slow host links, where the full-state device->host
+    # fetch (~30 s for W48 AdamW over a ~25 MB/s tunnel) otherwise dominates
+    # every improving epoch (train/checkpoint.py CheckpointManager)
+    best_save: str = "every"
     # fail-fast cadence: every N steps the epoch loop fetches the latest
     # step's loss and raises on non-finite values. Per-step aux otherwise
     # stays on device for the whole epoch (dispatch pipelining), so without
@@ -113,6 +120,9 @@ class RunConfig:
     def __post_init__(self):
         if self.ckpt_every < 1:
             raise ValueError(f"ckpt_every must be >= 1, got {self.ckpt_every}")
+        if self.best_save not in ("every", "end"):
+            raise ValueError(
+                f"best_save must be 'every'|'end', got {self.best_save!r}")
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
         if self.calib_batches < 1:

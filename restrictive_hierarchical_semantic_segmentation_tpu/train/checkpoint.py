@@ -70,17 +70,33 @@ class CheckpointManager:
     (tmp-then-rename). Call ``wait()`` before reading the files."""
 
     def __init__(self, save_dir: str, async_save: bool = True,
-                 ckpt_every: int = 1, final_epoch: Optional[int] = None):
+                 ckpt_every: int = 1, final_epoch: Optional[int] = None,
+                 best_save: str = "every"):
         """``ckpt_every``/``final_epoch``: the last.ckpt cadence — last saves
         on every ``ckpt_every``-th epoch and on the final one (best.ckpt
-        saves on every improvement regardless)."""
+        saves on every improvement regardless).
+
+        ``best_save``: ``"every"`` (reference durability: best.ckpt hits disk
+        on every improvement, train.py:666-686) or ``"end"`` (TPU slow-host-
+        link mode: improvements keep the best state as a DEVICE-side copy —
+        ~0.1 s HBM copy instead of a full state device->host fetch, which
+        costs ~30 s for a W48 AdamW state over a ~25 MB/s tunnel and
+        otherwise dominates every improving epoch — and best.ckpt is
+        materialized once in ``finalize()``. Durability delta: a crash loses
+        the in-flight best; ``--auto-resume`` re-derives it from last.ckpt,
+        which is the reference's own crash behavior, since it has no resume
+        at all)."""
         if ckpt_every < 1:
             raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
+        if best_save not in ("every", "end"):
+            raise ValueError(f"best_save must be 'every'|'end', {best_save!r}")
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
         self._async = async_save
         self.ckpt_every = int(ckpt_every)
         self.final_epoch = final_epoch
+        self.best_save = best_save
+        self._deferred_best: Optional[Tuple[Any, Dict]] = None
         self._executor = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
             if async_save else None
@@ -135,15 +151,27 @@ class CheckpointManager:
             if self._pending is not None and self._pending.done():
                 self.wait()
             return False
+        defer_best = is_best and self.best_save == "end"
+        if defer_best:
+            # device-side snapshot: jnp.copy allocates fresh HBM buffers, so
+            # the train step's donation of `state` cannot alias them
+            import jax
+            import jax.numpy as jnp
+
+            self._deferred_best = (
+                jax.tree_util.tree_map(jnp.copy, state), meta)
+        if defer_best and not save_last:
+            return True
+        write_best = is_best and not defer_best
         if self._async:
             import jax
 
             self.wait()  # one save in flight; surfaces worker errors
             host_state = jax.device_get(state)
             self._pending = self._executor.submit(
-                self._save_both, host_state, is_best, save_last, meta)
+                self._save_both, host_state, write_best, save_last, meta)
         else:
-            self._save_both(state, is_best, save_last, meta)
+            self._save_both(state, write_best, save_last, meta)
         return is_best
 
     def _save_both(self, state, is_best: bool, save_last: bool,
@@ -159,3 +187,16 @@ class CheckpointManager:
         if self._pending is not None:
             pending, self._pending = self._pending, None
             pending.result()
+
+    def finalize(self) -> None:
+        """Drain the async worker and, in ``best_save='end'`` mode,
+        materialize the deferred device-side best state into best.ckpt
+        (the fold's ONE device->host fetch for best)."""
+        self.wait()
+        if self._deferred_best is not None:
+            import jax
+
+            dev_state, meta = self._deferred_best
+            self._deferred_best = None
+            host_state = jax.device_get(dev_state)
+            save_checkpoint(self.best_path, host_state, **meta)

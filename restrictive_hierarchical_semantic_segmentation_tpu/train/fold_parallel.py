@@ -205,7 +205,8 @@ class FoldParallelTrainer:
         )
         self.ckpts = [
             CheckpointManager(loc, ckpt_every=cfg.ckpt_every,
-                              final_epoch=cfg.epochs)
+                              final_epoch=cfg.epochs,
+                              best_save=cfg.best_save)
             for loc in self.save_locs
         ]
 
@@ -433,7 +434,7 @@ class FoldParallelTrainer:
                     **sched_meta,
                 )
         for c in self.ckpts:
-            c.wait()  # drain async saves before files are consumed
+            c.finalize()  # drain async saves; materialize deferred bests
         return [c.prev_best for c in self.ckpts]
 
     def close(self):

@@ -147,6 +147,7 @@ def run_validation(eval_step, params, batch_stats, val_loader, batch_shard,
     losses, level_losses = [], np.zeros((len(num_classes_per_level),))
     device_res = []
     first = True
+    t0 = time.time()
     for x, y in prefetch_to_device(val_loader, 2, batch_shard):
         res = eval_step(params, batch_stats, x, y)
         if dump_fn is not None and first and "outputs" in res:
@@ -154,6 +155,7 @@ def run_validation(eval_step, params, batch_stats, val_loader, batch_shard,
             first = False
         res.pop("outputs", None)  # don't haul full-res maps per batch
         device_res.append(res)
+    t_dispatch = time.time() - t0
     # one host transfer after the last dispatch (see train_epoch note)
     for res in jax.device_get(device_res):
         losses.append(float(res["loss"]))
@@ -168,6 +170,8 @@ def run_validation(eval_step, params, batch_stats, val_loader, batch_shard,
         "per_class": acc.epoch_per_class(),
         "measure_mean": mean,
         "measure_std": std,
+        "sec_dispatch": t_dispatch,
+        "sec_total": time.time() - t0,
     }
 
 
@@ -270,7 +274,8 @@ class Trainer:
             cfg.lr, "max", 0.5, 3, min_lr=cfg.lrs_min
         ) if cfg.lrs else None
         self.ckpt = CheckpointManager(
-            save_loc, ckpt_every=cfg.ckpt_every, final_epoch=cfg.epochs)
+            save_loc, ckpt_every=cfg.ckpt_every, final_epoch=cfg.epochs,
+            best_save=cfg.best_save)
         self.n_levels = len(self.num_classes_per_level)
 
         # --- exact resume (beats the reference's weights-only --model-weights
@@ -400,7 +405,9 @@ class Trainer:
                 f"Epoch {epoch}: train loss {tr['loss']:.4f} "
                 f"({tr['steps']} steps, {tr['time']:.1f}s) | "
                 f"val dice(no bg) {va['measure_mean']:.4f} "
-                f"iou {va['overall']['iou']:.4f} lr {self.state.lr():.5f}",
+                f"iou {va['overall']['iou']:.4f} lr {self.state.lr():.5f} | "
+                f"val {va.get('sec_total', 0.0):.1f}s "
+                f"(dispatch {va.get('sec_dispatch', 0.0):.1f}s)",
                 flush=True,
             )
             logger.log(epoch, {
@@ -423,7 +430,7 @@ class Trainer:
                 self.state, epoch, tr["loss"], va["measure_mean"],
                 va["measure_std"], **sched_meta,
             )
-        self.ckpt.wait()  # drain the async save before files are consumed
+        self.ckpt.finalize()  # drain async saves; materialize deferred best
         return self.ckpt.prev_best
 
     def _truncate_csv(self, path, start_epoch: int):

@@ -136,3 +136,52 @@ class TestAsyncCheckpoint:
             RunConfig(ckpt_every=0)
         with pytest.raises(ValueError, match="grad_accum"):
             RunConfig(grad_accum=0)
+
+
+class TestDeferredBest:
+    """best_save='end': improvements keep a device-side copy; best.ckpt is
+    written once by finalize() with the best epoch's state."""
+
+    def test_defers_until_finalize_and_picks_best_epoch(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=100)
+        assert mgr.update(_tiny_state(1.0), 1, 0.5, 0.3, 0.0)   # improves
+        assert mgr.update(_tiny_state(2.0), 2, 0.4, 0.7, 0.0)   # improves
+        assert not mgr.update(_tiny_state(3.0), 3, 0.3, 0.6, 0.0)  # worse
+        mgr.wait()
+        assert not os.path.exists(mgr.best_path)  # nothing written yet
+        mgr.finalize()
+        st, meta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert meta["epoch"] == 2 and meta["test_measure_mean"] == 0.7
+        np.testing.assert_array_equal(np.asarray(st.params["w"]),
+                                      np.full((8, 8), 2.0))
+
+    def test_device_copy_isolated_from_donation_style_mutation(self, tmp_path):
+        # the deferred snapshot must not alias the live state's buffers
+        import jax.numpy as jnp
+
+        mgr = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=100)
+        st = _tiny_state(5.0)
+        mgr.update(st, 1, 0.5, 0.9, 0.0)
+        st = st.replace(params={"w": st.params["w"] * 0 - 1.0})  # "donated"
+        del st
+        mgr.finalize()
+        best, meta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        np.testing.assert_array_equal(np.asarray(best.params["w"]),
+                                      np.full((8, 8), 5.0))
+
+    def test_cadence_last_still_written(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=2)
+        mgr.update(_tiny_state(1.0), 1, 0.5, 0.3, 0.0)
+        mgr.update(_tiny_state(2.0), 2, 0.4, 0.6, 0.0)  # cadence + improve
+        mgr.wait()
+        assert os.path.exists(mgr.last_path)
+        assert not os.path.exists(mgr.best_path)
+        _, lmeta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
+        assert lmeta["epoch"] == 2
+        mgr.finalize()
+        _, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert bmeta["epoch"] == 2
+
+    def test_rejects_bad_policy(self, tmp_path):
+        with pytest.raises(ValueError):
+            CheckpointManager(str(tmp_path), best_save="never")

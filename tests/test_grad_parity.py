@@ -52,15 +52,19 @@ def ref_models():
     return ref_models
 
 
-def _torch_loss(t_probs, t_logits, t_targets, tree):
+def _torch_loss(t_probs, t_logits, t_targets, tree, lw=None):
     """Reference loss assembly (train.py:136-147 intent) from differentiable
-    torch oracles with the exact Metrics/losses.py loop semantics."""
+    torch oracles with the exact Metrics/losses.py loop semantics.
+    ``lw``: per-level class weights (defaults to the module-level 2-level LW;
+    pass a depth-matched list for other trees, e.g. the depth-4 extended)."""
     import torch
     import torch.nn.functional as F
 
+    if lw is None:
+        lw = LW
     total = 0.0
     for L in range(tree.num_levels):
-        w = torch.tensor(LW[L])
+        w = torch.tensor(lw[L])
         logits, targets = t_logits[L], t_targets[L]
         # CE (losses.py:90-134)
         logp = F.log_softmax(logits, 1)

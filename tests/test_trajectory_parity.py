@@ -160,12 +160,14 @@ def _np_perf_no_bg(probs_nhwc, targets_nhwc):
 
 
 def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
-                         lr, epochs):
+                         lr, epochs, lw=None):
     """Reference-intent train() loop: returns per-epoch history + best epoch."""
     import torch
 
     from test_grad_parity import _torch_loss
 
+    if lw is None:
+        lw = LW
     opt = torch.optim.AdamW(tmodel.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
         opt, mode="max", factor=0.5, patience=3, min_lr=MIN_LR)
@@ -180,7 +182,7 @@ def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
                 np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
             targets = _split_levels_nchw(y, tree)
             probs, logits = forward(xt)
-            loss = _torch_loss(probs, logits, targets, tree)
+            loss = _torch_loss(probs, logits, targets, tree, lw=lw)
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -195,7 +197,7 @@ def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
                     np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
                 targets = _split_levels_nchw(y, tree)
                 probs, logits = forward(xt)
-                vloss = float(_torch_loss(probs, logits, targets, tree))
+                vloss = float(_torch_loss(probs, logits, targets, tree, lw=lw))
                 measures.append(_np_perf_no_bg(
                     [p.permute(0, 2, 3, 1).numpy() for p in probs],
                     [t.permute(0, 2, 3, 1).numpy() for t in targets]))
@@ -339,22 +341,23 @@ def _base_cfg(tmp_path, synth_root, assets_dir, img_size, lr, epochs):
     )
 
 
-def _copy_film_and_heads(tmodel, init_params, heads_attr):
+def _copy_film_and_heads(tmodel, init_params, heads_attr, depth=2):
     import torch
 
     heads = getattr(tmodel, heads_attr)
-    for L in range(2):
+    for L in range(depth):
         k = np.asarray(init_params[f"head_l{L}"]["kernel"])
         conv = heads[L].conv if hasattr(heads[L], "conv") else heads[L]
         conv.weight.data = torch.from_numpy(
             np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
         conv.bias.data = torch.from_numpy(
             np.asarray(init_params[f"head_l{L}"]["bias"]).copy())
-    w = np.asarray(init_params["film_l1"]["mlp"]["kernel"])
-    tmodel.films[0].mlp[1].weight.data = torch.from_numpy(
-        np.ascontiguousarray(w.T))
-    tmodel.films[0].mlp[1].bias.data = torch.from_numpy(
-        np.asarray(init_params["film_l1"]["mlp"]["bias"]).copy())
+    for L in range(1, depth):
+        w = np.asarray(init_params[f"film_l{L}"]["mlp"]["kernel"])
+        tmodel.films[L - 1].mlp[1].weight.data = torch.from_numpy(
+            np.ascontiguousarray(w.T))
+        tmodel.films[L - 1].mlp[1].bias.data = torch.from_numpy(
+            np.asarray(init_params[f"film_l{L}"]["mlp"]["bias"]).copy())
 
 
 def test_unet_trajectory_parity(ref_models, default_tree, tmp_path,
@@ -387,6 +390,59 @@ def test_unet_trajectory_parity(ref_models, default_tree, tmp_path,
         tmodel, default_tree, train_b, val_b,
         forward=lambda xt: tmodel(xt, type=1, hierarchy=tree_dict),
         lr=LR, epochs=EPOCHS)
+
+    assert_trajectories_match(f_hist, t_hist, f_best, t_best, EPOCHS)
+
+
+def test_unet_extended_tree_trajectory_parity(ref_models, extended_tree,
+                                              tmp_path, assets_dir):
+    """Depth-4 variant (class_tree_tl_extended.json): the recurrent level
+    loop runs FOUR backbone passes with three FiLM stages and three grouped-
+    softmax compositions (reference models.py:257-306 at depth 4), and the
+    consistency term spans three parent levels. Same artifact-level
+    assertions as the depth-2 tests."""
+    S, LR, EPOCHS = 32, 1e-3, 6
+    # per-level class weights sized [2, 2, 4, 3] (no published extended
+    # recipe exists — irregular values exercise the weighting code paths)
+    LW4 = [[0.03, 1.5], [1.2, 0.8], [1.5, 0.3, 1.0, 0.9], [1.5, 0.26, 1.04]]
+    from restrictive_hierarchical_semantic_segmentation_tpu.data.synthetic import (
+        write_synth_dataset,
+    )
+
+    synth_root = str(tmp_path / "data")
+    write_synth_dataset(synth_root, 6, size=64, seed=3, folds=0)
+    from test_reference_parity import _copy_double_conv
+
+    train_b = build_fixed_batches(extended_tree, synth_root, B, S)
+    val_b = build_fixed_batches(extended_tree, synth_root, VB, S, limit=2)
+    save_loc = str(tmp_path / "runs" / "fold_1")
+    cfg_kwargs = _base_cfg(tmp_path, synth_root, assets_dir, S, LR, EPOCHS)
+    cfg_kwargs.update(
+        tree_root=str(assets_dir / "class_tree_tl_extended.json"),
+        class_map=str(assets_dir / "class_map_extended.csv"),
+        level_weights=LW4,
+    )
+    f_hist, (init_params, init_stats), f_best = run_jax_trainer(
+        cfg_kwargs, extended_tree, train_b, val_b, save_loc)
+
+    tree_dict = json.load(
+        open(os.path.join(REF, "class_tree_tl_extended.json")))
+    tmodel = ref_models.UNet(size=S, n_channels=3, hierarchy=tree_dict,
+                             model_type=1)
+    bp, bs = init_params["backbone"], init_stats["backbone"]
+    _copy_double_conv(tmodel.inc0.conv, bp["inc"], bs["inc"])
+    for i in range(1, 5):
+        _copy_double_conv(getattr(tmodel, f"down{i}").mpconv[1],
+                          bp[f"down{i}"]["conv"], bs[f"down{i}"]["conv"])
+        _copy_double_conv(getattr(tmodel, f"up{i}").conv,
+                          bp[f"up{i}"]["conv"], bs[f"up{i}"]["conv"])
+    _copy_film_and_heads(tmodel, init_params, "heads",
+                         depth=extended_tree.num_levels)
+
+    t_hist, t_best = run_torch_trajectory(
+        tmodel, extended_tree, train_b, val_b,
+        forward=lambda xt: tmodel(xt, type=1, hierarchy=tree_dict),
+        lr=LR, epochs=EPOCHS, lw=LW4)
 
     assert_trajectories_match(f_hist, t_hist, f_best, t_best, EPOCHS)
 

@@ -36,7 +36,8 @@ run() {
     --batch-size 4 --val-batch 4 --img-size 620 --epochs 80 \
     --learning-rate-scheduler-minimum 0.001 \
     --inc-cross-val True --folds 5 \
-    --compute-dtype bfloat16 --device-data True --ckpt-every 10 \
+    --compute-dtype bfloat16 --device-data True --ckpt-every 20 \
+    --best-save end \
     --auto-resume True --save-images-batch False \
     >>"$LOGS/$name.log" 2>&1
   echo "=== $name exit $? $(date) ===" | tee -a "$LOGS/driver.log"
