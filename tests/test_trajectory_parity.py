@@ -92,7 +92,7 @@ class FixedLoader:
         pass
 
 
-def build_fixed_batches(tree, root, batch, size, limit=None):
+def build_fixed_batches(tree, root, batch, size, limit=None, hierarchical=True):
     """Deterministic (augment=False) target-factory batches from a split dir."""
     from restrictive_hierarchical_semantic_segmentation_tpu.data.dataset import (
         SegDataset,
@@ -102,7 +102,8 @@ def build_fixed_batches(tree, root, batch, size, limit=None):
     )
 
     imgs, labs = list_pairs(root)
-    ds = SegDataset(imgs, labs, tree, size, hierarchical=True, augment=False)
+    ds = SegDataset(imgs, labs, tree, size, hierarchical=hierarchical,
+                    augment=False)
     items = [ds[i] for i in range(len(imgs))]
     out = []
     for i in range(0, len(items) - batch + 1, batch):
@@ -159,8 +160,43 @@ def _np_perf_no_bg(probs_nhwc, targets_nhwc):
     return float(np.mean(cat[1:]))
 
 
+def _torch_flat_loss(logits, target, w):
+    """Reference loss assembly for model_type=0 (train.py:111-152 at one
+    level, the consistency term gated off by ``hasattr(model, 'levels')``):
+    per-batch-item per-class masked CE (losses.py:90-134) + soft Dice
+    (losses.py:16-86, smooth=0). Flat targets are plain one-hot (the ternary
+    encoding is hierarchical-only, dataset.py:461-464) so the -1 masks are
+    trivially all-true, but the loop semantics are kept identical."""
+    import torch
+    import torch.nn.functional as F
+
+    w = torch.tensor(w)
+    logp = F.log_softmax(logits, 1)
+    items = []
+    for b in range(logits.shape[0]):
+        loss = 0.0
+        for c in range(logits.shape[1]):
+            m = target[b, c] != -1
+            loss = loss + (-(target[b, c][m] * logp[b, c][m] * w[c]).mean())
+        items.append(loss / logits.shape[1])
+    total = torch.stack(
+        [torch.nan_to_num(l, nan=1.0) for l in items]).mean()
+    probs = F.softmax(logits, 1)
+    vals = []
+    for b in range(logits.shape[0]):
+        mask = target[b] != -1
+        inter, union = 0.0, 0.0
+        for c in range(logits.shape[1]):
+            ic, tc = probs[b, c][mask[c]], target[b, c][mask[c]]
+            inter = inter + (ic * tc * w[c]).sum()
+            union = union + (ic * w[c]).sum() + (tc * w[c]).sum()
+        vals.append(1.0 - 2 * inter / union)
+    vals = [v for v in vals if not torch.isnan(v)]
+    return total + torch.stack(vals).mean()
+
+
 def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
-                         lr, epochs, lw=None):
+                         lr, epochs, lw=None, flat=False):
     """Reference-intent train() loop: returns per-epoch history + best epoch."""
     import torch
 
@@ -180,9 +216,16 @@ def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
         for x, y in train_batches:
             xt = torch.from_numpy(
                 np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
-            targets = _split_levels_nchw(y, tree)
-            probs, logits = forward(xt)
-            loss = _torch_loss(probs, logits, targets, tree, lw=lw)
+            if flat:
+                targets = [torch.from_numpy(
+                    np.ascontiguousarray(y.transpose(0, 3, 1, 2)))]
+                _, z = forward(xt)
+                logits = [z]
+                loss = _torch_flat_loss(z, targets[0], lw[0])
+            else:
+                targets = _split_levels_nchw(y, tree)
+                probs, logits = forward(xt)
+                loss = _torch_loss(probs, logits, targets, tree, lw=lw)
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -195,9 +238,17 @@ def run_torch_trajectory(tmodel, tree, train_batches, val_batches, forward,
             for x, y in val_batches:
                 xt = torch.from_numpy(
                     np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
-                targets = _split_levels_nchw(y, tree)
-                probs, logits = forward(xt)
-                vloss = float(_torch_loss(probs, logits, targets, tree, lw=lw))
+                if flat:
+                    targets = [torch.from_numpy(
+                        np.ascontiguousarray(y.transpose(0, 3, 1, 2)))]
+                    _, z = forward(xt)
+                    logits = [z]
+                    vloss = float(_torch_flat_loss(z, targets[0], lw[0]))
+                else:
+                    targets = _split_levels_nchw(y, tree)
+                    probs, logits = forward(xt)
+                    vloss = float(
+                        _torch_loss(probs, logits, targets, tree, lw=lw))
                 # the reference scores argmax(softmax(LOGITS)) per level
                 # (train.py:217-224), NOT the composed probabilities. For
                 # single-group levels (default tree) the two argmaxes coincide
@@ -396,6 +447,60 @@ def test_unet_trajectory_parity(ref_models, default_tree, tmp_path,
         tmodel, default_tree, train_b, val_b,
         forward=lambda xt: tmodel(xt, type=1, hierarchy=tree_dict),
         lr=LR, epochs=EPOCHS)
+
+    assert_trajectories_match(f_hist, t_hist, f_best, t_best, EPOCHS)
+
+
+def test_flat_unet_trajectory_parity(ref_models, default_tree, tmp_path,
+                                     assets_dir, synth_root):
+    """model_type=0 arm: single leaf head, plain one-hot targets (no ternary
+    encoding), CE+Dice with the reference's published flat class weights
+    (README.md:71-91), no consistency term (train.py:146 hasattr gate), flat
+    metric = full-confusion dice with the global background entry dropped.
+    Pins the training machinery behind the recipe table's flat columns.
+
+    6 epochs, not 8: the flat arm learns slower (tiny background weight,
+    no composition gating), so argmax stays near-tie longer and the
+    accumulated AdamW fp drift crosses the 0.02 dice tolerance at epoch
+    ~8 (measured 0.034); through epoch 6 drift stays <= 0.017 and every
+    plateau/best decision clears the knife-edge guard."""
+    S, LR, EPOCHS = 32, 1e-3, 6
+    FLAT_LW = [[0.0285, 1.5159, 0.9227, 1.4842, 0.2532, 1.0, 3.8021]]
+    from test_reference_parity import _copy_double_conv
+
+    train_b = build_fixed_batches(default_tree, synth_root, B, S,
+                                  hierarchical=False)
+    val_b = build_fixed_batches(default_tree, synth_root, VB, S, limit=2,
+                                hierarchical=False)
+    assert train_b[0][1].shape[-1] == default_tree.num_leaves == 7
+    save_loc = str(tmp_path / "runs" / "fold_1")
+    cfg_kwargs = _base_cfg(tmp_path, synth_root, assets_dir, S, LR, EPOCHS)
+    cfg_kwargs.update(model_type=0, level_weights=FLAT_LW)
+    f_hist, (init_params, init_stats), f_best = run_jax_trainer(
+        cfg_kwargs, default_tree, train_b, val_b, save_loc)
+
+    tree_dict = json.load(open(os.path.join(REF, "class_tree_tl.json")))
+    import torch
+
+    tmodel = ref_models.UNet(size=S, n_channels=3, hierarchy=tree_dict,
+                             model_type=0)
+    bp, bs = init_params["backbone"], init_stats["backbone"]
+    _copy_double_conv(tmodel.inc0.conv, bp["inc"], bs["inc"])
+    for i in range(1, 5):
+        _copy_double_conv(getattr(tmodel, f"down{i}").mpconv[1],
+                          bp[f"down{i}"]["conv"], bs[f"down{i}"]["conv"])
+        _copy_double_conv(getattr(tmodel, f"up{i}").conv,
+                          bp[f"up{i}"]["conv"], bs[f"up{i}"]["conv"])
+    k = np.asarray(init_params["head_flat"]["kernel"])
+    tmodel.out_flat.conv.weight.data = torch.from_numpy(
+        np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+    tmodel.out_flat.conv.bias.data = torch.from_numpy(
+        np.asarray(init_params["head_flat"]["bias"]).copy())
+
+    t_hist, t_best = run_torch_trajectory(
+        tmodel, default_tree, train_b, val_b,
+        forward=lambda xt: tmodel(xt, type=0, hierarchy=tree_dict),
+        lr=LR, epochs=EPOCHS, lw=FLAT_LW, flat=True)
 
     assert_trajectories_match(f_hist, t_hist, f_best, t_best, EPOCHS)
 
