@@ -30,5 +30,7 @@ step table python tools/aggregate_recipe_table.py --table \
 step bench python bench.py
 step pallas python -m pytest tests/test_pallas_tpu_compiled.py -v
 step serving_b1 python tools/serving_latency_b1.py
+step export_check python tools/export_tpu_check.py \
+  --weights "$REPO/.recipe/recipe_runs/hier_hrnet/fold_1/best.ckpt"
 step packing python tools/channel_packing_experiment.py --bench
 echo "=== post-sweep ALL DONE $(date) ===" | tee -a "$LOGS/post_sweep.log"
