@@ -145,6 +145,52 @@ def parity():
           "(fp-reassociation tolerance: rtol 1e-3, atol 1e-2)")
 
 
+def bench_fwd(batch, img, steps):
+    """Serving lever: forward-only latency, real W48 weights vs the SAME
+    weights zero-padded into the W64 topology (quality-neutral per --parity).
+    Answers whether MXU channel alignment pays at inference batch sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(HERE, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    tree, make = _models(jnp.bfloat16)
+    m48, _ = make(48)
+    m64, _ = make(64)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32)
+    v48 = m48.init(jax.random.PRNGKey(0), x[:1], train=False)
+    v64 = jax.eval_shape(lambda: m64.init(jax.random.PRNGKey(1), x[:1],
+                                          train=False))
+    v64 = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), v64)
+    v64p = _pad_tree(v48, v64)
+
+    out = {}
+    for name, model, variables in (("w48", m48, v48), ("w64", m64, v64p)):
+        fwd = jax.jit(lambda v, x, m=model: jnp.argmax(
+            m.apply(v, x, train=False).logits_per_level[-1], -1))
+        v_dev = jax.device_put(variables)
+        y = fwd(v_dev, x)
+        np.asarray(y)  # warm + sync
+        t0 = time.time()
+        for _ in range(steps):
+            y = fwd(v_dev, x)
+        np.asarray(y)
+        dt = (time.time() - t0) / steps
+        out[f"{name}_fwd_ms"] = round(dt * 1e3, 3)
+        print(json.dumps({f"{name}_fwd_ms": out[f"{name}_fwd_ms"]}),
+              flush=True)
+    out["w64_over_w48"] = round(out["w64_fwd_ms"] / out["w48_fwd_ms"], 3)
+    out["batch"] = batch
+    out["verdict"] = ("PACKED SERVING WINS (same weights, faster forward)"
+                      if out["w64_over_w48"] < 1.0 else "no win at this shape")
+    print(json.dumps(out))
+
+
 def bench(batch, img, steps):
     import jax
     import jax.numpy as jnp
@@ -198,6 +244,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parity", action="store_true")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--bench-fwd", action="store_true",
+                    help="forward-only W48 vs packed-W64 latency (serving)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--img", type=int, default=620)
     ap.add_argument("--steps", type=int, default=10)
@@ -206,6 +254,8 @@ def main():
         parity()
     if args.bench:
         bench(args.batch, args.img, args.steps)
+    if args.bench_fwd:
+        bench_fwd(args.batch, args.img, args.steps)
 
 
 if __name__ == "__main__":

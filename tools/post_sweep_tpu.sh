@@ -33,4 +33,6 @@ step serving_b1 python tools/serving_latency_b1.py
 step export_check python tools/export_tpu_check.py \
   --weights "$REPO/.recipe/recipe_runs/hier_hrnet/fold_1/best.ckpt"
 step packing python tools/channel_packing_experiment.py --bench
+step packing_fwd python tools/channel_packing_experiment.py --bench-fwd \
+  --batch 1 --steps 50
 echo "=== post-sweep ALL DONE $(date) ===" | tee -a "$LOGS/post_sweep.log"
