@@ -14,7 +14,11 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 RUNS="$REPO/.recipe/recipe_runs"
 LOGS="$REPO/.recipe/logs"
 EPOCHS=80
-STALE_S=1800
+# Must exceed the worst healthy silent window: a config's first epoch
+# includes a cold train-step compile AND a cold eval compile (10-25 min
+# EACH through the relay, tools/warm_*_compiles.py) before the first
+# epoch line is logged. Observed: 871 s for hier_hrnet; budget 2x worst.
+STALE_S=5400
 CHECK_S=120
 DRIVER_PID_FILE=/tmp/sweep.pid
 
