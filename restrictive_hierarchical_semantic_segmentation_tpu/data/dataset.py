@@ -135,14 +135,18 @@ class SegDataset:
         self.emit_gray = emit_gray
         self._tables = None
         # augmentation-independent per-image caches, reused across epochs:
-        # channel bitmasks ((index, size) -> (S, S) uint32, ~1.5MB/img @620)
-        # and decoded+resized [0,1] images (~4.6MB/img @620). The reference
-        # re-decodes every epoch; identical values, just cached. BYTE-capped
+        # channel bitmasks (("bits", index, size) -> (S, S) uint32,
+        # ~1.5MB/img @620) and decoded+resized [0,1] images (("img", index,
+        # size), ~4.6MB/img @620). The reference re-decodes every epoch;
+        # identical values, just cached. ONE byte-capped cache shared by both
+        # kinds so ``cache_bytes`` is the dataset's TOTAL host-RAM budget
         # (entry-count caps are not a real bound on a small host: 4096
         # entries at 620px would be ~19 GB); past the cap new images are
         # simply re-decoded per epoch, reference-style.
-        self._bits_cache = ByteCappedCache(cache_bytes)
-        self._img_cache = ByteCappedCache(cache_bytes)
+        self._cache = ByteCappedCache(cache_bytes)
+        # both names point at the same byte budget (back-compat aliases)
+        self._bits_cache = self._cache
+        self._img_cache = self._cache
         self.cache_images = True
 
     def __len__(self) -> int:
@@ -163,7 +167,7 @@ class SegDataset:
         if rng is None:
             rng = np.random.default_rng()
         s = self.img_size
-        x = self._img_cache.get((index, s))
+        x = self._cache.get(("img", index, s))
         if x is None:
             x = decode_image_compact(self.input_paths[index]).astype(
                 np.float32
@@ -172,9 +176,9 @@ class SegDataset:
             # byte-bounded: ~4.6MB/entry at 620px; covers TL-pano-scale
             # datasets, silently skips caching once the budget is spent
             if self.cache_images:
-                self._img_cache[(index, s)] = x
+                self._cache[("img", index, s)] = x
         mask = None
-        if not (self.use_native and (index, s) in self._bits_cache):
+        if not (self.use_native and ("bits", index, s) in self._cache):
             mask = decode_mask(self.target_paths[index])
 
         # draw ALL random params up-front in a fixed order so the numpy and
@@ -215,7 +219,7 @@ class SegDataset:
             )
             y = make_target_native(
                 mask, self._target_tables(), s, do_hflip, m,
-                bits_cache=self._bits_cache, cache_key=(index, s),
+                bits_cache=self._cache, cache_key=("bits", index, s),
                 dtype=self.target_dtype,
             )
             if y is not None:

@@ -71,7 +71,8 @@ class CheckpointManager:
 
     def __init__(self, save_dir: str, async_save: bool = True,
                  ckpt_every: int = 1, final_epoch: Optional[int] = None,
-                 best_save: str = "every"):
+                 best_save: str = "every", defer_snapshot=None,
+                 defer_fetch=None):
         """``ckpt_every``/``final_epoch``: the last.ckpt cadence — last saves
         on every ``ckpt_every``-th epoch and on the final one (best.ckpt
         saves on every improvement regardless).
@@ -82,10 +83,20 @@ class CheckpointManager:
         ~0.1 s HBM copy instead of a full state device->host fetch, which
         costs ~30 s for a W48 AdamW state over a ~25 MB/s tunnel and
         otherwise dominates every improving epoch — and best.ckpt is
-        materialized once in ``finalize()``. Durability delta: a crash loses
-        the in-flight best; ``--auto-resume`` re-derives it from last.ckpt,
-        which is the reference's own crash behavior, since it has no resume
-        at all)."""
+        materialized once in ``finalize()``. A pending deferred best is ALSO
+        flushed to disk on every last.ckpt cadence epoch, so a crash loses at
+        most ``ckpt_every`` epochs of best-tracking and ``--auto-resume``
+        re-seeds the gate from the flushed best.ckpt meta).
+
+        ``defer_snapshot``/``defer_fetch``: owner-managed deferred-best
+        storage for ``best_save='end'``. ``defer_snapshot(state) -> handle``
+        replaces the default device-side ``jnp.copy`` snapshot;
+        ``defer_fetch(handle) -> host state`` materializes it at flush/
+        finalize time. Fold-parallel uses these to keep ALL folds' deferred
+        bests in one fold-SHARDED stacked buffer (1x state per chip) instead
+        of F fully-replicated copies (F x state per chip)."""
+        if (defer_snapshot is None) != (defer_fetch is None):
+            raise ValueError("defer_snapshot and defer_fetch come together")
         if ckpt_every < 1:
             raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
         if best_save not in ("every", "end"):
@@ -97,6 +108,8 @@ class CheckpointManager:
         self.final_epoch = final_epoch
         self.best_save = best_save
         self._deferred_best: Optional[Tuple[Any, Dict]] = None
+        self._defer_snapshot = defer_snapshot
+        self._defer_fetch = defer_fetch
         self._executor = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
             if async_save else None
@@ -153,33 +166,68 @@ class CheckpointManager:
             return False
         defer_best = is_best and self.best_save == "end"
         if defer_best:
-            # device-side snapshot: jnp.copy allocates fresh HBM buffers, so
-            # the train step's donation of `state` cannot alias them
-            import jax
-            import jax.numpy as jnp
+            if self._defer_snapshot is not None:
+                self._deferred_best = (self._defer_snapshot(state), meta)
+            else:
+                # device-side snapshot: jnp.copy allocates fresh HBM buffers,
+                # so the train step's donation of `state` cannot alias them
+                import jax
+                import jax.numpy as jnp
 
-            self._deferred_best = (
-                jax.tree_util.tree_map(jnp.copy, state), meta)
+                self._deferred_best = (
+                    jax.tree_util.tree_map(jnp.copy, state), meta)
         if defer_best and not save_last:
+            # still surface a FAILED in-flight save promptly (same rationale
+            # as the not-best/not-cadence branch above)
+            if self._pending is not None and self._pending.done():
+                self.wait()
             return True
         write_best = is_best and not defer_best
+        # cadence epoch with a deferred best pending: flush it to disk along
+        # with last.ckpt, so a crash/kill loses at most ``ckpt_every`` epochs
+        # of best-tracking instead of the whole fold's (and --auto-resume
+        # re-seeds prev_best from the flushed meta)
+        flush: Optional[Tuple[Any, Dict]] = None
+        if save_last and self._deferred_best is not None:
+            flush = self._deferred_best
+            self._deferred_best = None
+        tasks = []
         if self._async:
             import jax
 
             self.wait()  # one save in flight; surfaces worker errors
+            if flush is not None:
+                tasks.append((self.best_path, self._defer_to_host(flush[0]),
+                              flush[1]))
             host_state = jax.device_get(state)
-            self._pending = self._executor.submit(
-                self._save_both, host_state, write_best, save_last, meta)
+            if write_best:
+                tasks.append((self.best_path, host_state, meta))
+            if save_last:
+                tasks.append((self.last_path, host_state, meta))
+            self._pending = self._executor.submit(self._save_tasks, tasks)
         else:
-            self._save_both(state, write_best, save_last, meta)
+            if flush is not None:
+                tasks.append((self.best_path, self._defer_to_host(flush[0]),
+                              flush[1]))
+            if write_best:
+                tasks.append((self.best_path, state, meta))
+            if save_last:
+                tasks.append((self.last_path, state, meta))
+            self._save_tasks(tasks)
         return is_best
 
-    def _save_both(self, state, is_best: bool, save_last: bool,
-                   meta: Dict) -> None:
-        if is_best:
-            save_checkpoint(self.best_path, state, **meta)
-        if save_last:
-            save_checkpoint(self.last_path, state, **meta)
+    def _save_tasks(self, tasks) -> None:
+        for path, st, meta in tasks:
+            save_checkpoint(path, st, **meta)
+
+    def _defer_to_host(self, snap):
+        """Materialize a deferred-best snapshot (device copy or owner handle)
+        as a host-side state pytree."""
+        if self._defer_fetch is not None:
+            return self._defer_fetch(snap)
+        import jax
+
+        return jax.device_get(snap)
 
     def wait(self) -> None:
         """Block until the in-flight async save (if any) has finished; raises
@@ -194,9 +242,6 @@ class CheckpointManager:
         (the fold's ONE device->host fetch for best)."""
         self.wait()
         if self._deferred_best is not None:
-            import jax
-
-            dev_state, meta = self._deferred_best
+            snap, meta = self._deferred_best
             self._deferred_best = None
-            host_state = jax.device_get(dev_state)
-            save_checkpoint(self.best_path, host_state, **meta)
+            save_checkpoint(self.best_path, self._defer_to_host(snap), **meta)

@@ -64,6 +64,19 @@ class FoldParallelTrainer:
         self.cfg = cfg
         self.tree = tree
         self.fold_ids = list(fold_ids)
+        self._restore_resize = None
+        self.save_locs, self.train_loaders, self.val_loaders = [], [], []
+        try:
+            self._build()
+        except BaseException:
+            # construction failed partway: restore the process-global resize
+            # default and release any loader pools already created, instead
+            # of leaking them into the rest of the process
+            self.close()
+            raise
+
+    def _build(self):
+        cfg, tree = self.cfg, self.tree
         F = len(self.fold_ids)
         from ..utils.compile_cache import enable as _enable_cache
 
@@ -108,7 +121,6 @@ class FoldParallelTrainer:
         )
 
         # --- per-fold data / output dirs ------------------------------------
-        self.save_locs, self.train_loaders, self.val_loaders = [], [], []
         for f, fold in enumerate(self.fold_ids):
             train_root = os.path.join(cfg.data_root, f"fold_{fold}", "train")
             val_root = os.path.join(cfg.data_root, f"fold_{fold}", "val")
@@ -173,6 +185,22 @@ class FoldParallelTrainer:
             lambda s, i: jax.tree_util.tree_map(lambda l: l[i], s),
             out_shardings=NamedSharding(self.mesh, P()),
         )
+        # deferred-best storage (best_save='end'): ONE stacked fold-sharded
+        # buffer holding every fold's best-so-far state. Per-chip cost is the
+        # chip's own fold shard (~1x state), vs F fully-replicated per-fold
+        # copies (~F x state per chip) if each CheckpointManager kept its own
+        # jnp.copy of the replicated _slice_fold output.
+        self._best_stacked = None
+        stacked_shard = NamedSharding(self.mesh, P(FOLD_AXIS))
+        self._copy_stacked = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s),
+            out_shardings=stacked_shard,
+        )
+        self._scatter_fold = jax.jit(
+            lambda best, cur, i: jax.tree_util.tree_map(
+                lambda b, c: b.at[i].set(c[i]), best, cur),
+            out_shardings=stacked_shard, donate_argnums=(0,),
+        )
 
         # --- steps ----------------------------------------------------------
         lw = cfg.level_weights
@@ -206,8 +234,11 @@ class FoldParallelTrainer:
         self.ckpts = [
             CheckpointManager(loc, ckpt_every=cfg.ckpt_every,
                               final_epoch=cfg.epochs,
-                              best_save=cfg.best_save)
-            for loc in self.save_locs
+                              best_save=cfg.best_save,
+                              defer_snapshot=(
+                                  lambda _state, f=f: self._snap_best(f)),
+                              defer_fetch=self._fetch_best)
+            for f, loc in enumerate(self.save_locs)
         ]
 
     # --------------------------------------------------------------- resume
@@ -355,6 +386,24 @@ class FoldParallelTrainer:
             })
         return results
 
+    def _snap_best(self, f: int) -> int:
+        """Deferred-best snapshot hook (``best_save='end'``): record fold
+        ``f``'s current state into the fold-sharded stacked buffer; the fold
+        index is the handle (the buffer always holds the newest snapshot for
+        each fold, matching the newest deferred meta)."""
+        if self._best_stacked is None:
+            self._best_stacked = self._copy_stacked(self.state)
+        else:
+            self._best_stacked = self._scatter_fold(
+                self._best_stacked, self.state, jnp.int32(f))
+        return f
+
+    def _fetch_best(self, f: int):
+        """Deferred-best fetch hook: materialize fold ``f``'s snapshot on
+        host (flush/finalize time — the fold's one device->host best fetch)."""
+        return jax.device_get(self._slice_fold(self._best_stacked,
+                                               jnp.int32(f)))
+
     def evaluate_fold(self, f: int, epoch: int, dump_images: bool = False):
         sliced = self._slice_fold(self.state, jnp.int32(f))
         dump_fn = (
@@ -444,6 +493,7 @@ class FoldParallelTrainer:
         for ld in (*self.train_loaders, *self.val_loaders):
             if hasattr(ld, "close"):
                 ld.close()
+        self._best_stacked = None  # free the deferred-best HBM buffer
         if getattr(self, "_restore_resize", None) is not None:
             from ..ops.resize import set_default_method
 

@@ -175,12 +175,83 @@ class TestDeferredBest:
         mgr.update(_tiny_state(2.0), 2, 0.4, 0.6, 0.0)  # cadence + improve
         mgr.wait()
         assert os.path.exists(mgr.last_path)
-        assert not os.path.exists(mgr.best_path)
+        # the pending deferred best rides the cadence flush to disk
+        assert os.path.exists(mgr.best_path)
         _, lmeta = load_checkpoint(mgr.last_path, _tiny_state(0.0))
         assert lmeta["epoch"] == 2
         mgr.finalize()
         _, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
         assert bmeta["epoch"] == 2
+
+    def test_cadence_flush_bounds_crash_loss(self, tmp_path):
+        """A kill between cadences loses at most ckpt_every epochs of best:
+        the deferred best is flushed with every last.ckpt, and a resumed
+        manager re-seeds its gate from the flushed meta."""
+        mgr = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=2)
+        mgr.update(_tiny_state(1.0), 1, 0.5, 0.9, 0.0)   # improve (defer)
+        mgr.update(_tiny_state(2.0), 2, 0.4, 0.4, 0.0)   # cadence -> flush
+        mgr.wait()
+        st, bmeta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert bmeta["epoch"] == 1 and bmeta["test_measure_mean"] == 0.9
+        np.testing.assert_array_equal(np.asarray(st.params["w"]),
+                                      np.full((8, 8), 1.0))
+        # simulate a crash + --auto-resume: a fresh manager re-seeds the gate
+        mgr2 = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=2)
+        assert mgr2.prev_best == 0.9
+        assert not mgr2.update(_tiny_state(3.0), 3, 0.3, 0.5, 0.0)  # worse
+        mgr2.finalize()
+        _, bmeta = load_checkpoint(mgr2.best_path, _tiny_state(0.0))
+        assert bmeta["epoch"] == 1  # pre-crash best survived the restart
+
+    def test_defer_early_return_surfaces_failed_save(self, tmp_path,
+                                                     monkeypatch):
+        import time
+
+        mgr = CheckpointManager(str(tmp_path), best_save="end", ckpt_every=2)
+        mgr.update(_tiny_state(1.0), 1, 0.5, 0.3, 0.0)   # improve (defer)
+
+        def boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(
+            "restrictive_hierarchical_semantic_segmentation_tpu.train."
+            "checkpoint.save_checkpoint", boom)
+        mgr.update(_tiny_state(2.0), 2, 0.4, 0.2, 0.0)   # cadence -> fails
+        for _ in range(100):
+            if mgr._pending.done():
+                break
+            time.sleep(0.05)
+        with pytest.raises(RuntimeError, match="disk full"):
+            # epoch 3: improving off-cadence (defer early-return path) must
+            # STILL surface the epoch-2 failure
+            mgr.update(_tiny_state(3.0), 3, 0.3, 0.8, 0.0)
+
+    def test_defer_hooks(self, tmp_path):
+        """Owner-managed deferred-best storage: snapshot returns a handle,
+        fetch materializes it (fold-parallel's stacked-buffer contract)."""
+        store = {}
+
+        def snap(state):
+            store["best"] = state  # owner keeps it; handle is a key
+            return "best"
+
+        def fetch(handle):
+            return store[handle]
+
+        mgr = CheckpointManager(str(tmp_path), best_save="end",
+                                ckpt_every=100, defer_snapshot=snap,
+                                defer_fetch=fetch)
+        mgr.update(_tiny_state(7.0), 1, 0.5, 0.9, 0.0)
+        assert mgr._deferred_best[0] == "best"  # handle, not a state copy
+        mgr.finalize()
+        st, meta = load_checkpoint(mgr.best_path, _tiny_state(0.0))
+        assert meta["epoch"] == 1
+        np.testing.assert_array_equal(np.asarray(st.params["w"]),
+                                      np.full((8, 8), 7.0))
+
+    def test_defer_hooks_must_come_together(self, tmp_path):
+        with pytest.raises(ValueError, match="together"):
+            CheckpointManager(str(tmp_path), defer_snapshot=lambda s: s)
 
     def test_rejects_bad_policy(self, tmp_path):
         with pytest.raises(ValueError):

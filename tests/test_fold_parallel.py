@@ -222,6 +222,53 @@ class TestFoldParallelTraining:
                 os.path.join(out, f"fold_{fold}", "metrics.csv"))
             assert [r[0] for r in rows] == ["Epoch", "1", "2"]
 
+    def test_best_save_end_stacked_buffer(self, two_fold_data, tmp_path):
+        """best_save='end' in fold-parallel keeps every fold's deferred best
+        in ONE fold-sharded stacked buffer (not F replicated copies) and
+        finalize() materializes per-fold best.ckpt files whose meta matches
+        each fold's own best metrics.csv row."""
+        from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (  # noqa: E501
+            load_checkpoint,
+        )
+
+        out = str(tmp_path / "defer")
+        train(_cfg(two_fold_data, out, fold_parallel=True, epochs=2,
+                   best_save="end", ckpt_every=100))
+        import json
+
+        for fold in (1, 2):
+            loc = os.path.join(out, f"fold_{fold}")
+            rows = _read_csv_rows(os.path.join(loc, "metrics.csv"))
+            measures = [float(r[16]) for r in rows[1:]]  # val measure_mean
+            best_epoch = int(np.argmax(measures)) + 1
+            with open(os.path.join(loc, "best.ckpt",
+                                   "rhss_meta.json")) as f:
+                meta = json.load(f)
+            assert meta["epoch"] == best_epoch
+            np.testing.assert_allclose(meta["test_measure_mean"],
+                                       max(measures), rtol=1e-6)
+
+    def test_init_failure_restores_resize_default(self, two_fold_data,
+                                                  tmp_path):
+        """A constructor failure after the n_space>1 resize switch must not
+        leak 'matmul' as the process-wide resize default."""
+        from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (  # noqa: E501
+            get_default_method,
+        )
+        from restrictive_hierarchical_semantic_segmentation_tpu.train.fold_parallel import (  # noqa: E501
+            FoldParallelTrainer,
+        )
+        from restrictive_hierarchical_semantic_segmentation_tpu.hierarchy.tree import (  # noqa: E501
+            ClassTree,
+        )
+
+        before = get_default_method()
+        cfg = _cfg(two_fold_data, str(tmp_path / "x"), n_space=99)
+        tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
+        with pytest.raises(ValueError, match="n_space"):
+            FoldParallelTrainer(cfg, tree, [1, 2])
+        assert get_default_method() == before
+
     def test_rejects_ckpt_model_weights(self, two_fold_data, tmp_path):
         cfg = _cfg(two_fold_data, str(tmp_path / "x"), fold_parallel=True,
                    model_weights="some/dir/last.ckpt")

@@ -49,6 +49,22 @@ def test_byte_capped_cache_respects_budget():
     assert c.nbytes == 96 and c.get("a") is a
 
 
+def test_dataset_caches_share_one_byte_budget(synth_root, default_tree):
+    """cache_bytes is the dataset's TOTAL budget: image and bitmask entries
+    share ONE ByteCappedCache (two separate caches each capped at
+    cache_bytes would let a dataset pin 2x the advertised bound)."""
+    imgs, labs = _pairs(synth_root)
+    ds = SegDataset(imgs, labs, tree=default_tree, img_size=32,
+                    hierarchical=True, augment=False,
+                    cache_bytes=1 << 20)
+    assert ds._img_cache is ds._bits_cache
+    for i in range(len(imgs)):
+        ds.__getitem__(i, np.random.default_rng(i))
+    assert 0 < ds._cache.nbytes <= 1 << 20
+    # both entry kinds actually land in the one shared cache
+    assert {k[0] for k in ds._cache._d} == {"img", "bits"}
+
+
 def test_dataset_identical_with_and_without_cache(synth_root, default_tree):
     imgs, labs = _pairs(synth_root)
     kw = dict(tree=default_tree, img_size=32, hierarchical=True, augment=True)
