@@ -1,0 +1,217 @@
+"""Serve CLI — an HTTP inference endpoint around ``train.serving.Predictor``.
+
+The reference has no deployment story: predictions exist only by re-running
+``predictEval.py`` over a directory on disk. This exposes the compiled,
+weight-baked (optionally int8-quantized, optionally fold-ensembled)
+predictor as a minimal HTTP service using only the standard library:
+
+  GET  /healthz        -> {"status": "ok", ...model/tree info...}
+  POST /v1/predict     -> segmentation of the POSTed image bytes
+       body: PNG/JPEG/BMP bytes (anything cv2 decodes)
+       query params:
+         level  : hierarchy level of the returned class map
+                  (default: deepest level)
+         format : png (default) | json
+       response:
+         png  -> image/png, uint8 class-id map at model resolution
+                 (img_size x img_size); header X-Classes lists the level's
+                 class names in id order
+         json -> {"level": L, "classes": [...], "class_map": [[...]]}
+
+Preprocessing matches the eval pipeline exactly (data/dataset.py val chain,
+reference Data/dataset.py:416-440): decode -> [0,1] -> bilinear resize to
+img_size -> normalize(0.5, 0.5) -> grayscale broadcast to 3 channels.
+
+The predictor is a single in-process instance guarded by a lock — JAX
+dispatch on one device is serial anyway; scale with replicas, not threads.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _bool(s) -> bool:
+    return str(s).lower() in ("true", "1", "yes")
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Serve a trained model over HTTP")
+    p.add_argument("--model-weights", type=str, required=True,
+                   help="checkpoint path (.ckpt or donor .pth), or a train "
+                        "run dir (fold_N/ layout) with --ensemble")
+    p.add_argument("--tree-root", type=str, required=True)
+    p.add_argument("--class-map", type=str, required=True)
+    p.add_argument("--img-size", type=int, default=352)
+    p.add_argument("--model-type", type=int, default=0, choices=[0, 1])
+    p.add_argument("--model-select", type=int, default=0, choices=[0, 1])
+    p.add_argument("--config", type=str, default="")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--quantize", type=str, default="False",
+                   help="int8 PTQ of the serving forward (train/quantize.py)")
+    p.add_argument("--ensemble", type=str, default="",
+                   help="'best' or 'last': treat --model-weights as a run "
+                        "dir and fold-ensemble every fold_N/<which>.ckpt")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--warmup", type=str, default="True",
+                   help="compile the batch-1 forward before accepting "
+                        "requests (first request is slow otherwise)")
+    return p.parse_args(argv)
+
+
+def preprocess_bytes(data: bytes, img_size: int):
+    """Uploaded image bytes -> (1, S, S, 3) float32 model input.
+
+    Mirrors the dataset's val-mode input chain (data/dataset.py
+    ``decode_image_compact`` + ``__getitem__``): [0,1] -> resize ->
+    normalize(.5,.5) -> gray broadcast to 3 channels."""
+    import cv2
+    import numpy as np
+
+    from ..data import transforms as T
+
+    raw = np.frombuffer(data, np.uint8)
+    img = cv2.imdecode(raw, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("request body is not a decodable image")
+    if img.ndim == 2:
+        img = img[..., None]
+    elif img.shape[2] == 4:
+        img = img[..., :3]
+    else:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    x = img.astype(np.float32) / 255.0
+    x = T.resize_bilinear_np(x, (img_size, img_size))
+    if x.ndim == 2:
+        x = x[..., None]
+    x = T.normalize(x)
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    return x[None]
+
+
+def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` binds an
+    ephemeral port (``server.server_address[1]`` has the real one)."""
+    import numpy as np
+
+    lock = threading.Lock()
+    info = {
+        "status": "ok",
+        "img_size": img_size,
+        "num_levels": tree.num_levels,
+        "classes_per_level": list(tree.classes_per_level),
+        "levels": [list(l) for l in tree.levels],
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default: one access-log line per request to stderr is
+        # noise under load; flip for debugging
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, info)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/predict":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                q = parse_qs(url.query)
+                fmt = q.get("format", ["png"])[0]
+                level = int(q.get("level", [tree.num_levels - 1])[0])
+                if not 0 <= level < tree.num_levels:
+                    raise ValueError(
+                        f"level must be in [0, {tree.num_levels - 1}]")
+                if fmt not in ("png", "json"):
+                    raise ValueError("format must be png or json")
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    raise ValueError("empty request body")
+                x = preprocess_bytes(self.rfile.read(n), img_size)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            with lock:
+                out = predictor(x)
+            cmap = np.asarray(out["class_maps"][level][0])
+            names = list(tree.levels[level])
+            if fmt == "json":
+                self._json(200, {"level": level, "classes": names,
+                                 "class_map": cmap.tolist()})
+                return
+            import cv2
+
+            ok, png = cv2.imencode(".png", cmap.astype(np.uint8))
+            if not ok:
+                self._json(500, {"error": "png encode failed"})
+                return
+            body = png.tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Level", str(level))
+            self.send_header("X-Classes", ",".join(names))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    from ..config.run import RunConfig
+    from ..hierarchy.tree import ClassTree
+    from ..train.serving import Predictor
+
+    cfg = RunConfig(
+        tree_root=args.tree_root,
+        class_map=args.class_map,
+        img_size=args.img_size,
+        model_select=args.model_select,
+        model_type=args.model_type,
+        hrnet_yaml=args.config or None,
+        compute_dtype=args.compute_dtype,
+    )
+    tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
+    weights = (Predictor.fold_checkpoints(args.model_weights, args.ensemble)
+               if args.ensemble else args.model_weights)
+    predictor = Predictor(cfg, weights, tree=tree,
+                          quantize=_bool(args.quantize),
+                          outputs=("class_maps",))
+    if _bool(args.warmup):
+        print("warming up (batch-1 compile)...", flush=True)
+        predictor.warmup(batch=1)
+    server = make_server(predictor, tree, args.img_size, args.host, args.port)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(POST /v1/predict, GET /healthz)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

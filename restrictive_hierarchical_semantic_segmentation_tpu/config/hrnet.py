@@ -10,7 +10,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 __all__ = ["HRNetStage", "HRNetConfig", "hrnet_w48", "hrnet_w18", "hrnet_w32",
-           "load_hrnet_yaml"]
+           "hrnet_w64", "load_hrnet_yaml"]
 
 
 @dataclass(frozen=True)
@@ -66,12 +66,24 @@ def hrnet_w18() -> HRNetConfig:
     return _width_cfg(18)
 
 
+def hrnet_w64() -> HRNetConfig:
+    """TPU-native width: every branch (64/128/256/512) is a multiple of the
+    MXU/VPU lane count, so conv channel dims tile the 128x128 systolic array
+    without padding waste (W48's 48-wide branch packs at 0.375 efficiency —
+    see tools/roofline.py and the W48-in-W64 packing parity experiment,
+    tools/channel_packing_experiment.py). No reference analog (its widths
+    come from the published ImageNet checkpoints); use when training from
+    scratch on TPU."""
+    return _width_cfg(64)
+
+
 def resolve_hrnet_config(name_or_path: str) -> HRNetConfig:
     """``--config`` resolver: the shorthand names ``w18``/``w32``/``w48``
     (the reference's hrnet_config.py MODEL_CONFIGS family, vestigial there,
     first-class here) or a reference-format YAML path."""
     key = name_or_path.strip().lower()
-    factories = {"w18": hrnet_w18, "w32": hrnet_w32, "w48": hrnet_w48}
+    factories = {"w18": hrnet_w18, "w32": hrnet_w32, "w48": hrnet_w48,
+                 "w64": hrnet_w64}
     if key in factories:
         return factories[key]()
     return load_hrnet_yaml(name_or_path)

@@ -38,6 +38,10 @@ def test_yaml_loader_on_reference_file():
 def test_width_presets():
     assert hrnet_w18().last_channels == 18 + 36 + 72 + 144
     assert hrnet_w32().last_channels == 32 + 64 + 128 + 256
+    from restrictive_hierarchical_semantic_segmentation_tpu.config import (
+        hrnet_w64,
+    )
+    assert hrnet_w64().last_channels == 64 + 128 + 256 + 512
 
 
 def test_level_mask_schedule():
@@ -98,7 +102,7 @@ def test_resolve_hrnet_config_shorthands(assets_dir):
     )
 
     for name, width, last in (("w18", 18, 270), ("w32", 32, 480),
-                              ("w48", 48, 720)):
+                              ("w48", 48, 720), ("w64", 64, 960)):
         cfg = resolve_hrnet_config(name)
         assert cfg.stage4.num_channels[0] == width
         assert cfg.last_channels == last
