@@ -58,6 +58,8 @@ def get_args(argv=None):
                         "dir and fold-ensemble every fold_N/<which>.ckpt")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--warmup", type=str, default="True",
                    help="compile the batch-1 forward before accepting "
                         "requests (first request is slow otherwise)")
@@ -96,7 +98,8 @@ def preprocess_bytes(data: bytes, img_size: int):
 
 
 def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0,
+                max_body_bytes: int = 64 << 20) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` binds an
     ephemeral port (``server.server_address[1]`` has the real one)."""
     import numpy as np
@@ -147,6 +150,21 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty request body")
+                if n > max_body_bytes:
+                    # drain (discard) the body so the client's send completes
+                    # before the error response; a plain reply mid-upload
+                    # breaks the client connection instead of returning 413
+                    left = n
+                    while left > 0:
+                        left -= len(self.rfile.read(min(left, 1 << 20)))
+                    self._json(413, {"error": f"body exceeds "
+                                              f"{max_body_bytes} bytes"})
+                    return
+                if fmt == "png" and tree.classes_per_level[level] > 256:
+                    raise ValueError(
+                        "png class maps hold ids 0..255; this level has "
+                        f"{tree.classes_per_level[level]} classes — use "
+                        "format=json")
                 x = preprocess_bytes(self.rfile.read(n), img_size)
             except ValueError as e:
                 self._json(400, {"error": str(e)})
@@ -201,7 +219,8 @@ def main(argv=None):
     if _bool(args.warmup):
         print("warming up (batch-1 compile)...", flush=True)
         predictor.warmup(batch=1)
-    server = make_server(predictor, tree, args.img_size, args.host, args.port)
+    server = make_server(predictor, tree, args.img_size, args.host, args.port,
+                         max_body_bytes=args.max_body_mb << 20)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /v1/predict, GET /healthz)", flush=True)

@@ -59,7 +59,8 @@ def served(tmp_path_factory, assets_dir, default_tree):
     finally:
         serving.build_model = orig
 
-    server = make_server(pred, tree, 32, "127.0.0.1", 0)
+    server = make_server(pred, tree, 32, "127.0.0.1", 0,
+                         max_body_bytes=1 << 20)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -141,6 +142,10 @@ def test_predict_bad_requests(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(served["url"] + "/v1/nope", served["png"])
     assert e.value.code == 404
+    # oversized body (server built with a 1 MB cap)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(served["url"] + "/v1/predict", b"\0" * (2 << 20))
+    assert e.value.code == 413
 
 
 def test_serve_cli_arg_parsing():
