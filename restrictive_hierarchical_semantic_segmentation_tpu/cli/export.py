@@ -18,8 +18,7 @@ from __future__ import annotations
 import argparse
 
 
-def _bool(s) -> bool:
-    return str(s).lower() in ("true", "1", "yes")
+from .common import parse_bool as _bool
 
 
 def get_args(argv=None):

@@ -34,8 +34,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
-def _bool(s) -> bool:
-    return str(s).lower() in ("true", "1", "yes")
+from .common import parse_bool as _bool
 
 
 def get_args(argv=None):
@@ -69,24 +68,19 @@ def get_args(argv=None):
 def preprocess_bytes(data: bytes, img_size: int):
     """Uploaded image bytes -> (1, S, S, 3) float32 model input.
 
-    Mirrors the dataset's val-mode input chain (data/dataset.py
-    ``decode_image_compact`` + ``__getitem__``): [0,1] -> resize ->
-    normalize(.5,.5) -> gray broadcast to 3 channels."""
-    import cv2
+    The dataset's val-mode input chain (data/dataset.py ``__getitem__``,
+    augment off): decode (shared ``decode_image_bytes_compact``) -> [0,1]
+    -> resize -> normalize(.5,.5) -> gray broadcast to 3 channels. Pinned
+    against SegDataset output by a parity test (tests/test_serve.py)."""
     import numpy as np
 
     from ..data import transforms as T
+    from ..data.dataset import decode_image_bytes_compact
 
-    raw = np.frombuffer(data, np.uint8)
-    img = cv2.imdecode(raw, cv2.IMREAD_UNCHANGED)
-    if img is None:
+    try:
+        img = decode_image_bytes_compact(data)
+    except ValueError:
         raise ValueError("request body is not a decodable image")
-    if img.ndim == 2:
-        img = img[..., None]
-    elif img.shape[2] == 4:
-        img = img[..., :3]
-    else:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     x = img.astype(np.float32) / 255.0
     x = T.resize_bilinear_np(x, (img_size, img_size))
     if x.ndim == 2:
@@ -98,19 +92,30 @@ def preprocess_bytes(data: bytes, img_size: int):
 
 
 def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
-                port: int = 0,
-                max_body_bytes: int = 64 << 20) -> ThreadingHTTPServer:
+                port: int = 0, max_body_bytes: int = 64 << 20,
+                hierarchical: bool = True) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` binds an
-    ephemeral port (``server.server_address[1]`` has the real one)."""
+    ephemeral port (``server.server_address[1]`` has the real one).
+
+    ``hierarchical=False`` serves a flat model: its predictor emits ONE
+    class map over the tree's leaf classes (models/hierarchical.py flat
+    path), so the only valid ``level`` is 0 and the class names are
+    ``tree.leaf_names``."""
     import numpy as np
 
+    # outputs the predictor actually produces, with their class names:
+    # hierarchical -> one class map per tree level; flat -> one map (leaves)
+    level_names = ([list(l) for l in tree.levels] if hierarchical
+                   else [list(tree.leaf_names)])
+    n_out = len(level_names)
     lock = threading.Lock()
     info = {
         "status": "ok",
         "img_size": img_size,
-        "num_levels": tree.num_levels,
-        "classes_per_level": list(tree.classes_per_level),
-        "levels": [list(l) for l in tree.levels],
+        "hierarchical": hierarchical,
+        "num_levels": n_out,
+        "classes_per_level": [len(l) for l in level_names],
+        "levels": level_names,
     }
 
     class Handler(BaseHTTPRequestHandler):
@@ -141,10 +146,10 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
             try:
                 q = parse_qs(url.query)
                 fmt = q.get("format", ["png"])[0]
-                level = int(q.get("level", [tree.num_levels - 1])[0])
-                if not 0 <= level < tree.num_levels:
+                level = int(q.get("level", [n_out - 1])[0])
+                if not 0 <= level < n_out:
                     raise ValueError(
-                        f"level must be in [0, {tree.num_levels - 1}]")
+                        f"level must be in [0, {n_out - 1}]")
                 if fmt not in ("png", "json"):
                     raise ValueError("format must be png or json")
                 n = int(self.headers.get("Content-Length", 0))
@@ -156,14 +161,17 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
                     # breaks the client connection instead of returning 413
                     left = n
                     while left > 0:
-                        left -= len(self.rfile.read(min(left, 1 << 20)))
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:  # client aborted the upload: EOF
+                            return  # connection is dead; no reply possible
+                        left -= len(chunk)
                     self._json(413, {"error": f"body exceeds "
                                               f"{max_body_bytes} bytes"})
                     return
-                if fmt == "png" and tree.classes_per_level[level] > 256:
+                if fmt == "png" and len(level_names[level]) > 256:
                     raise ValueError(
                         "png class maps hold ids 0..255; this level has "
-                        f"{tree.classes_per_level[level]} classes — use "
+                        f"{len(level_names[level])} classes — use "
                         "format=json")
                 x = preprocess_bytes(self.rfile.read(n), img_size)
             except ValueError as e:
@@ -172,7 +180,7 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
             with lock:
                 out = predictor(x)
             cmap = np.asarray(out["class_maps"][level][0])
-            names = list(tree.levels[level])
+            names = level_names[level]
             if fmt == "json":
                 self._json(200, {"level": level, "classes": names,
                                  "class_map": cmap.tolist()})
@@ -220,7 +228,8 @@ def main(argv=None):
         print("warming up (batch-1 compile)...", flush=True)
         predictor.warmup(batch=1)
     server = make_server(predictor, tree, args.img_size, args.host, args.port,
-                         max_body_bytes=args.max_body_mb << 20)
+                         max_body_bytes=args.max_body_mb << 20,
+                         hierarchical=args.model_type == 1)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /v1/predict, GET /healthz)", flush=True)

@@ -19,8 +19,7 @@ import argparse
 import ast
 
 
-def _bool(s) -> bool:
-    return str(s).lower() in ("true", "1", "yes")
+from .common import parse_bool as _bool
 
 
 def get_args(argv=None):

@@ -51,6 +51,19 @@ def decode_image_compact(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise FileNotFoundError(path)
+    return _compact_channels(img)
+
+
+def decode_image_bytes_compact(data: bytes) -> np.ndarray:
+    """:func:`decode_image_compact` for in-memory encoded bytes (the serve
+    CLI's upload path) — SAME channel conventions, one implementation."""
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("not a decodable image")
+    return _compact_channels(img)
+
+
+def _compact_channels(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         return img[..., None]
     if img.shape[2] == 4:

@@ -57,10 +57,29 @@ def _worker_load(args):
     return _WORKER_DS.__getitem__(int(ds_index), rng)
 
 
+def _split_cache_budget(dataset, num_workers: int):
+    """Each spawn worker gets its OWN pickled copy of the dataset, so a
+    per-dataset byte budget would multiply by num_workers; split it so the
+    TOTAL across workers honors the documented cache_bytes bound."""
+    cache = getattr(dataset, "_cache", None)
+    if cache is None or num_workers <= 1 or getattr(
+            cache, "cap_bytes", 0) <= 0:
+        return dataset
+    import copy
+
+    from .dataset import ByteCappedCache
+
+    dataset = copy.copy(dataset)
+    dataset._cache = ByteCappedCache(cache.cap_bytes // num_workers)
+    dataset._bits_cache = dataset._img_cache = dataset._cache
+    return dataset
+
+
 def _make_process_pool(dataset, num_workers: int):
     import multiprocessing as mp
     import os
 
+    dataset = _split_cache_budget(dataset, num_workers)
     saved = {}
     for k in _ACCEL_ENV:
         if k in os.environ:

@@ -176,6 +176,17 @@ class Evaluator:
 
             calib = []
             for xb, yb in self.loader:
+                if xb.shape[0] < self.batch:
+                    # pad a ragged final batch to the compiled shape by
+                    # repeating the last image (duplicates leave the running
+                    # amax unchanged) — calibrate() jits per unique shape, so
+                    # an unpadded batch would cold-compile the whole forward
+                    # a second time (10-25 min on the slow relay)
+                    pad = self.batch - xb.shape[0]
+                    xb = np.concatenate(
+                        [xb, np.repeat(xb[-1:], pad, axis=0)])
+                    yb = np.concatenate(
+                        [yb, np.repeat(yb[-1:], pad, axis=0)])
                 calib.append(np.asarray(jax.device_get(_device_decode(
                     jnp.asarray(xb), jnp.asarray(yb))[0]), np.float32))
                 if len(calib) >= cfg.calib_batches:
@@ -216,13 +227,17 @@ class Evaluator:
                 pad = B - n_valid
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                 y = np.concatenate([y, -np.ones_like(np.repeat(y[-1:], pad, axis=0))])
+            # free a window slot BEFORE dispatching, so at most `inflight`
+            # batches of results are ever device-resident (append-then-pop
+            # would peak at inflight+1 — an OOM exactly on the boundary the
+            # knob is documented to guarantee)
+            if len(pending) >= self.inflight:
+                img_idx = self._consume(*pending.popleft(), acc, img_idx)
             xd = jax.device_put(np.asarray(x), self.batch_shard)
             yd = jax.device_put(np.asarray(y), self.batch_shard)
             res = self.eval_step(self.state.params, self.state.batch_stats,
                                  xd, yd)
             pending.append((res, n_valid, y))
-            if len(pending) > self.inflight:
-                img_idx = self._consume(*pending.popleft(), acc, img_idx)
         while pending:
             img_idx = self._consume(*pending.popleft(), acc, img_idx)
         self.loader.close()

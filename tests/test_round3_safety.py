@@ -65,6 +65,29 @@ def test_dataset_caches_share_one_byte_budget(synth_root, default_tree):
     assert {k[0] for k in ds._cache._d} == {"img", "bits"}
 
 
+def test_process_pool_splits_cache_budget(synth_root, default_tree):
+    """With the process loader, every spawn worker holds its OWN dataset
+    copy — the byte budget must be divided across workers so the TOTAL
+    host-RAM bound stays cache_bytes, not cache_bytes x num_workers."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.data.loader import (
+        _split_cache_budget,
+    )
+
+    imgs, labs = _pairs(synth_root)
+    ds = SegDataset(imgs, labs, tree=default_tree, img_size=32,
+                    hierarchical=True, augment=False, cache_bytes=1 << 20)
+    split = _split_cache_budget(ds, 4)
+    assert split is not ds  # original untouched
+    assert ds._cache.cap_bytes == 1 << 20
+    assert split._cache.cap_bytes == (1 << 20) // 4
+    assert split._img_cache is split._cache is split._bits_cache
+    # no-ops: single worker, or a zero budget
+    assert _split_cache_budget(ds, 1) is ds
+    ds0 = SegDataset(imgs, labs, tree=default_tree, img_size=32,
+                     hierarchical=True, augment=False, cache_bytes=0)
+    assert _split_cache_budget(ds0, 4) is ds0
+
+
 def test_dataset_identical_with_and_without_cache(synth_root, default_tree):
     imgs, labs = _pairs(synth_root)
     kw = dict(tree=default_tree, img_size=32, hierarchical=True, augment=True)
@@ -259,7 +282,10 @@ def test_evaluator_bounded_inflight(tmp_path, assets_dir, synth_root,
     # all dispatches (the unbounded round-2 behavior)
     first_consume = events.index("consume")
     assert first_consume < n_batches, events
-    assert first_consume == 2, events
+    # window=1: at most ONE batch's results device-resident at any moment —
+    # the oldest is consumed BEFORE the next dispatch (dispatch, consume,
+    # dispatch, ...); append-then-pop would peak at 2 resident
+    assert first_consume == 1, events
     assert 0.0 <= res["overall"]["dice"] <= 1.0
 
 
