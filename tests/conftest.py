@@ -13,12 +13,19 @@ import os
 import pathlib
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# RHSS_TPU_TESTS=1 leaves the live backend alone so the TPU-marked tests
+# (tests/test_pallas_tpu_compiled.py) can reach the chip; everything else in
+# the suite is written for the 8-device CPU mesh and should NOT run that way.
+_ON_TPU = os.environ.get("RHSS_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:

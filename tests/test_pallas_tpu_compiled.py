@@ -53,15 +53,18 @@ def test_compiled_fused_bn_act_forward_and_backward():
     """fwd + custom-VJP bwd (the InPlace-ABN-identity gradient,
     fused_bn_act.py:165+) vs XLA's straightforward BN+ReLU autodiff."""
     from restrictive_hierarchical_semantic_segmentation_tpu.ops.fused_bn_act import (
-        bn_stats,
-        fused_bn_act,
+        batch_norm_act,
     )
 
     x, gamma, beta = _data()
 
     def pallas_loss(x, gamma, beta):
-        mean, var = bn_stats(x)
-        y = fused_bn_act(x, mean, var, gamma, beta, act="relu")
+        # batch_norm_act is the public train-mode API: stats go through
+        # stop_gradient (pallas kernels are not JVP-transformable) and the
+        # stats' contribution to dx is folded into the custom VJP's
+        # train-mode identity — so the grads must STILL match XLA's full
+        # autodiff through mean/var below.
+        y, _, _ = batch_norm_act(x, gamma, beta, act="relu")
         return (y * jnp.sin(jnp.arange(y.size).reshape(y.shape) * 1e-4)).sum()
 
     def xla_loss(x, gamma, beta):
@@ -89,14 +92,17 @@ def test_compiled_fused_bn_act_forward_and_backward():
 def test_compiled_matches_interpret_mode():
     """The exact arrays the CPU suite validates in interpret mode must come
     back (to fp tolerance) from the Mosaic-compiled kernel."""
-    from restrictive_hierarchical_semantic_segmentation_tpu.ops import (
-        fused_bn_act as F,
+    # NB: ops/__init__.py re-exports `fused_bn_act` the FUNCTION, shadowing
+    # the submodule attribute — import the functions directly
+    from restrictive_hierarchical_semantic_segmentation_tpu.ops.fused_bn_act import (
+        bn_stats,
+        fused_bn_act,
     )
 
     x, gamma, beta = _data()
-    mean, var = F.bn_stats(x)
-    compiled = np.asarray(F.fused_bn_act(x, mean, var, gamma, beta,
-                                         act="leaky_relu"))
+    mean, var = bn_stats(x)
+    compiled = np.asarray(fused_bn_act(x, mean, var, gamma, beta,
+                                       act="leaky_relu"))
     xn = np.asarray(x, np.float64)
     flat = xn.reshape(-1, xn.shape[-1])
     ref = (xn - flat.mean(0)) / np.sqrt(flat.var(0) + 1e-5)
