@@ -59,19 +59,32 @@ def get_args(argv=None):
     p.add_argument("--port", type=int, default=8600)
     p.add_argument("--max-body-mb", type=int, default=64,
                    help="reject request bodies larger than this (413)")
+    p.add_argument("--io", type=str, default="f32", choices=["f32", "u8"],
+                   help="f32: host-normalized float input (exact eval-chain "
+                        "parity). u8: ship raw uint8 pixels and normalize "
+                        "on device — 4-12x smaller host->device transfer "
+                        "(tools/serving_latency_b1.py levers; the resize "
+                        "then runs on u8, so pixels quantize to 8 bits "
+                        "before normalization)")
     p.add_argument("--warmup", type=str, default="True",
                    help="compile the batch-1 forward before accepting "
                         "requests (first request is slow otherwise)")
     return p.parse_args(argv)
 
 
-def preprocess_bytes(data: bytes, img_size: int):
-    """Uploaded image bytes -> (1, S, S, 3) float32 model input.
+def preprocess_bytes(data: bytes, img_size: int, io: str = "f32"):
+    """Uploaded image bytes -> batch-1 model input.
 
     The dataset's val-mode input chain (data/dataset.py ``__getitem__``,
     augment off): decode (shared ``decode_image_bytes_compact``) -> [0,1]
     -> resize -> normalize(.5,.5) -> gray broadcast to 3 channels. Pinned
-    against SegDataset output by a parity test (tests/test_serve.py)."""
+    against SegDataset output by a parity test (tests/test_serve.py).
+
+    ``io="u8"``: identical decode+resize, then the resized pixels are
+    re-quantized to uint8 and shipped raw — (1, S, S) for grayscale,
+    (1, S, S, 3) for color — and the Predictor normalizes/broadcasts on
+    device. Only delta vs f32: <=0.5/255 per-pixel quantization after the
+    resize; the transfer shrinks 4-12x (tools/serving_latency_b1.py)."""
     import numpy as np
 
     from ..data import transforms as T
@@ -85,6 +98,11 @@ def preprocess_bytes(data: bytes, img_size: int):
     x = T.resize_bilinear_np(x, (img_size, img_size))
     if x.ndim == 2:
         x = x[..., None]
+    if io == "u8":
+        x = np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+        if x.shape[-1] == 1:
+            x = x[..., 0]  # grayscale ships (1, S, S): 12x smaller than f32
+        return x[None]
     x = T.normalize(x)
     if x.shape[-1] == 1:
         x = np.repeat(x, 3, axis=-1)
@@ -93,7 +111,8 @@ def preprocess_bytes(data: bytes, img_size: int):
 
 def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
                 port: int = 0, max_body_bytes: int = 64 << 20,
-                hierarchical: bool = True) -> ThreadingHTTPServer:
+                hierarchical: bool = True,
+                io: str = "f32") -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` binds an
     ephemeral port (``server.server_address[1]`` has the real one).
 
@@ -173,7 +192,7 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
                         "png class maps hold ids 0..255; this level has "
                         f"{len(level_names[level])} classes — use "
                         "format=json")
-                x = preprocess_bytes(self.rfile.read(n), img_size)
+                x = preprocess_bytes(self.rfile.read(n), img_size, io=io)
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -221,15 +240,24 @@ def main(argv=None):
     tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
     weights = (Predictor.fold_checkpoints(args.model_weights, args.ensemble)
                if args.ensemble else args.model_weights)
+    # u8 class maps whenever the tree allows: 4x smaller device->host fetch,
+    # and the PNG path encodes u8 anyway (the >256-class PNG guard in the
+    # handler covers the int32 fallback)
+    cm_dtype = ("uint8" if all(len(l) <= 256 for l in tree.levels)
+                else "int32")
     predictor = Predictor(cfg, weights, tree=tree,
                           quantize=_bool(args.quantize),
-                          outputs=("class_maps",))
+                          outputs=("class_maps",),
+                          class_map_dtype=cm_dtype)
     if _bool(args.warmup):
         print("warming up (batch-1 compile)...", flush=True)
-        predictor.warmup(batch=1)
+        predictor.warmup(
+            batch=1,
+            input_dtype="uint8" if args.io == "u8" else "float32")
     server = make_server(predictor, tree, args.img_size, args.host, args.port,
                          max_body_bytes=args.max_body_mb << 20,
-                         hierarchical=args.model_type == 1)
+                         hierarchical=args.model_type == 1,
+                         io=args.io)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /v1/predict, GET /healthz)", flush=True)

@@ -78,7 +78,8 @@ class Predictor:
                  quantize: bool = False,
                  calib_batches: Optional[List[np.ndarray]] = None,
                  outputs: Sequence[str] = ("logits", "probs", "class_maps"),
-                 mesh=None):
+                 mesh=None,
+                 class_map_dtype: str = "int32"):
         from ..utils.compile_cache import enable
 
         enable()
@@ -153,6 +154,32 @@ class Predictor:
         if bad:
             raise ValueError(f"unknown Predictor outputs: {sorted(bad)}")
 
+        if class_map_dtype not in ("int32", "uint8"):
+            raise ValueError("class_map_dtype must be 'int32' or 'uint8'")
+        if class_map_dtype == "uint8" and any(
+                len(l) > 256 for l in self.tree.levels):
+            raise ValueError(
+                "class_map_dtype='uint8' holds class ids 0..255; a level of "
+                "this tree has more classes")
+        cm_dtype = jnp.uint8 if class_map_dtype == "uint8" else jnp.int32
+
+        def _prep(x):
+            # raw uint8 inputs: normalize ON DEVICE ((x/255 - .5)/.5, the
+            # training Normalize(.5,.5) chain) and broadcast grayscale to
+            # 3 channels. Shrinks H2D 4x vs host-normalized fp32 (12x for
+            # (B,H,W) grayscale) — the biggest batch-1 lever measured in
+            # tools/serving_latency_b1.py (94.5 vs 127 ms end-to-end).
+            # Delta vs the f32 path: the input is quantized to 8 bits
+            # BEFORE normalization (<=1/255 per-pixel error).
+            if x.dtype != jnp.uint8:
+                return x
+            if x.ndim == 3:
+                x = x[..., None]
+            x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            if x.shape[-1] == 1:
+                x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+            return x
+
         def _select(full):
             # unrequested outputs never leave the program — XLA dead-code
             # eliminates their compute, and __call__ fetches only what's
@@ -164,9 +191,9 @@ class Predictor:
         if len(paths) == 1:
             @jax.jit
             def _fn(x):
-                out = apply_fn(variables, x, train=False)
+                out = apply_fn(variables, _prep(x), train=False)
                 scores = out.logits_per_level
-                class_maps = [jnp.argmax(z, -1).astype(jnp.int32)
+                class_maps = [jnp.argmax(z, -1).astype(cm_dtype)
                               for z in scores]
                 probs = out.probs_per_level
                 return _select({
@@ -191,6 +218,8 @@ class Predictor:
 
                 @jax.jit
                 def _ens(stacked, x):
+                    x = _prep(x)
+
                     def one(v):
                         out = apply_fn(v, x, train=False)
                         probs = out.probs_per_level
@@ -201,7 +230,7 @@ class Predictor:
 
                     fold_probs = jax.vmap(one)(stacked)  # (F, B, H, W, C)
                     probs = [p.mean(0) for p in fold_probs]
-                    class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
+                    class_maps = [jnp.argmax(p, -1).astype(cm_dtype)
                                   for p in probs]
                     return _select({
                         "logits": None,
@@ -254,8 +283,8 @@ class Predictor:
 
                 @jax.jit
                 def _ens(stacked, x):
-                    probs = list(sharded(stacked, x))
-                    class_maps = [jnp.argmax(p, -1).astype(jnp.int32)
+                    probs = list(sharded(stacked, _prep(x)))
+                    class_maps = [jnp.argmax(p, -1).astype(cm_dtype)
                                   for p in probs]
                     return _select({
                         "logits": None,
@@ -268,11 +297,21 @@ class Predictor:
 
         self._fn = _fn
 
-    def warmup(self, batch: int = 1):
+    def warmup(self, batch: int = 1, input_dtype: str = "float32"):
         s = self.cfg.img_size
-        self(np.zeros((batch, s, s, 3), np.float32))
+        if input_dtype == "uint8":
+            # the u8 fast path has two signatures (gray (B,H,W) and color
+            # (B,H,W,3)); warm both — the graphs share everything past the
+            # tiny normalize prefix so the second compile is cheap
+            self(np.zeros((batch, s, s), np.uint8))
+            self(np.zeros((batch, s, s, 3), np.uint8))
+        else:
+            self(np.zeros((batch, s, s, 3), np.float32))
 
     def __call__(self, images: np.ndarray) -> Dict:
-        """images: (B, H, W, 3) float32, normalized like training inputs."""
+        """images: (B, H, W, 3) float32 normalized like training inputs, OR
+        raw uint8 (B, H, W, 3) / grayscale (B, H, W) — u8 inputs are
+        normalized on device (smaller host->device transfer; input is
+        quantized to 8 bits before normalization)."""
         out = self._fn(images)
         return jax.tree_util.tree_map(np.asarray, out)

@@ -270,3 +270,75 @@ def test_serve_cli_arg_parsing():
     ])
     assert args.img_size == 64 and args.ensemble == "best"
     assert args.port == 0 and args.host == "127.0.0.1"
+
+
+def test_serve_u8_io_mode(tmp_path, assets_dir, default_tree):
+    """--io u8 end-to-end: raw uint8 pixels ship to the device, normalization
+    runs on device, and the served class map matches the u8 preprocess path
+    (same resize as f32; the only delta is 8-bit input quantization)."""
+    import cv2
+    import jax
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.cli.serve import (
+        make_server,
+        preprocess_bytes,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train import serving
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.serving import (
+        Predictor,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    tree = default_tree
+    small_model = H.HierarchicalSegmenter(
+        tree=tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    state, _ = create_train_state(small_model, jax.random.PRNGKey(0), x, 0.0)
+    ckpt = str(tmp_path / "best.ckpt")
+    save_checkpoint(ckpt, state, epoch=1, loss=0.0, test_measure_mean=0.5,
+                    test_measure_std=0.0)
+    orig = serving.build_model
+    serving.build_model = lambda *a, **k: small_model
+    try:
+        cfg = RunConfig(tree_root=str(assets_dir / "class_tree_tl.json"),
+                        class_map=str(assets_dir / "class_map.csv"),
+                        model_select=0, model_type=1, img_size=32)
+        pred = Predictor(cfg, ckpt, tree=tree, outputs=("class_maps",),
+                         class_map_dtype="uint8")
+        pred.warmup(batch=1, input_dtype="uint8")
+    finally:
+        serving.build_model = orig
+
+    server = make_server(pred, tree, 32, "127.0.0.1", 0,
+                         max_body_bytes=1 << 20, io="u8")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(3)
+        img_u8 = rng.integers(0, 256, (40, 48), np.uint8)
+        ok, png = cv2.imencode(".png", img_u8)
+        assert ok
+        xb = preprocess_bytes(png.tobytes(), 32, io="u8")
+        assert xb.dtype == np.uint8 and xb.shape == (1, 32, 32)  # gray u8
+        expected = pred(xb)["class_maps"]
+        with _post(f"http://127.0.0.1:{port}/v1/predict", png.tobytes()) as r:
+            data = r.read()
+        got = cv2.imdecode(np.frombuffer(data, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        np.testing.assert_array_equal(got, expected[-1][0])
+    finally:
+        server.shutdown()
+        server.server_close()

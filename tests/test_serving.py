@@ -181,3 +181,72 @@ def test_predictor_output_selection(tmp_path, assets_dir, default_tree,
         np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="unknown"):
         Predictor(cfg, ckpt, tree=default_tree, outputs=("banana",))
+
+
+def test_u8_io_and_compact_class_maps(tmp_path, assets_dir, default_tree,
+                                      monkeypatch):
+    """The measured batch-1 levers (tools/serving_latency_b1.py): raw uint8
+    inputs normalized ON DEVICE and uint8 class maps must agree with the
+    host-normalized f32 path exactly (same f32 arithmetic either side)."""
+    import jax
+
+    from restrictive_hierarchical_semantic_segmentation_tpu.models import (
+        hierarchical as H,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.unet import (
+        UNetBackbone,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.serving import (
+        Predictor,
+    )
+    from restrictive_hierarchical_semantic_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    small_model = H.HierarchicalSegmenter(
+        tree=default_tree, backbone=UNetBackbone(base_ch=8), hierarchical=True
+    )
+    monkeypatch.setattr(
+        "restrictive_hierarchical_semantic_segmentation_tpu.train.serving."
+        "build_model",
+        lambda *a, **k: small_model,
+    )
+    rng = np.random.default_rng(7)
+    raw_gray = rng.integers(0, 256, (2, 32, 32), np.uint8)
+    raw_color = rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    state, _ = create_train_state(
+        small_model, jax.random.PRNGKey(0), x, 0.0)
+    ckpt = str(tmp_path / "best.ckpt")
+    save_checkpoint(ckpt, state, epoch=1, loss=0.0, test_measure_mean=0.5,
+                    test_measure_std=0.0)
+    cfg = RunConfig(tree_root=str(assets_dir / "class_tree_tl.json"),
+                    class_map=str(assets_dir / "class_map.csv"),
+                    model_select=0, model_type=1, img_size=32)
+
+    pred = Predictor(cfg, ckpt, tree=default_tree)
+    pred_u8 = Predictor(cfg, ckpt, tree=default_tree,
+                        class_map_dtype="uint8")
+    pred_u8.warmup(batch=2, input_dtype="uint8")
+
+    for raw in (raw_gray, raw_color):
+        # host-normalized reference: exactly the training Normalize(.5,.5)
+        f = raw.astype(np.float32) / 255.0
+        if f.ndim == 3:
+            f = np.repeat(f[..., None], 3, axis=-1)
+        f = (f - 0.5) / 0.5
+        ref = pred(f)
+        got = pred_u8(raw)
+        for lvl in range(2):
+            np.testing.assert_allclose(
+                got["probs"][lvl], ref["probs"][lvl], rtol=1e-5, atol=1e-6)
+            assert got["class_maps"][lvl].dtype == np.uint8
+            np.testing.assert_array_equal(
+                got["class_maps"][lvl],
+                ref["class_maps"][lvl].astype(np.uint8))
+
+    with pytest.raises(ValueError, match="int32.*uint8|uint8.*int32"):
+        Predictor(cfg, ckpt, tree=default_tree, class_map_dtype="int16")

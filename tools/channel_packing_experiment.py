@@ -174,11 +174,12 @@ def bench_fwd(batch, img, steps):
         fwd = jax.jit(lambda v, x, m=model: jnp.argmax(
             m.apply(v, x, train=False).logits_per_level[-1], -1))
         v_dev = jax.device_put(variables)
-        y = fwd(v_dev, x)
+        xd = jax.device_put(x)  # one H2D: isolate compute, not tunnel I/O
+        y = fwd(v_dev, xd)
         np.asarray(y)  # warm + sync
         t0 = time.time()
         for _ in range(steps):
-            y = fwd(v_dev, x)
+            y = fwd(v_dev, xd)
         np.asarray(y)
         dt = (time.time() - t0) / steps
         out[f"{name}_fwd_ms"] = round(dt * 1e3, 3)
@@ -220,11 +221,15 @@ def bench(batch, img, steps):
         step = make_train_step(model, tx, tree, hierarchical=True,
                                donate=False)
         mask = jnp.ones((tree.num_levels,), jnp.float32)
-        _, aux = step(state, x, y, mask)
+        # device_put ONCE: re-feeding host numpy each step would ship
+        # ~270 MB/step (x+y at batch 16/620px) through the tunnel and bury
+        # the w64-vs-w48 compute delta under a shared transfer constant
+        xd, yd = jax.device_put(x), jax.device_put(y)
+        _, aux = step(state, xd, yd, mask)
         float(aux["loss"])  # warm + sync (value fetch)
         t0 = time.time()
         for _ in range(steps):
-            state2, aux = step(state, x, y, mask)
+            state2, aux = step(state, xd, yd, mask)
         float(aux["loss"])
         dt = (time.time() - t0) / steps
         out[f"w{width}_s_per_step"] = round(dt, 4)
