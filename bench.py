@@ -11,6 +11,9 @@ by ``tools/measure_reference_baseline.py`` (stored in BASELINE_MEASURED.json —
 the reference repo publishes no throughput numbers, BASELINE.md).
 
 Flags: --model {hrnet,unet} --img 620 --batch 4 --steps 20 --dtype bfloat16
+
+``make_parser``/``build_step`` are importable so tools (tools/profile_step.py)
+profile the EXACT benchmark step — same jaxpr, same compile-cache entry.
 """
 import argparse
 import json
@@ -22,7 +25,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 
-def main():
+def make_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="hrnet", choices=["hrnet", "unet"])
     ap.add_argument("--img", type=int, default=620)
@@ -45,8 +48,10 @@ def main():
     ap.add_argument("--tree", default="default", choices=["default", "extended"],
                     help="extended = the depth-4 tree (reference pays 4 "
                          "backbone passes; the shared pass pays one)")
-    ap.add_argument("--width", default="w48", choices=["w18", "w32", "w48"],
-                    help="HRNet width family (reference MODEL_CONFIGS)")
+    ap.add_argument("--width", default="w48",
+                    choices=["w18", "w32", "w48", "w64"],
+                    help="HRNet width family (reference MODEL_CONFIGS "
+                         "+ the TPU-native w64 preset)")
     ap.add_argument("--grad-accum", type=int, default=1,
                     help=">1: one optimizer step from N microbatches "
                          "(peak memory of one microbatch)")
@@ -60,8 +65,16 @@ def main():
                     help="bilinear-resize formulation (ops/resize.py): "
                          "gather/lerp passes vs the gather-free banded-"
                          "matmul contraction (MXU instead of gather path)")
-    args = ap.parse_args()
+    return ap
 
+
+def build_step(args):
+    """Build the benchmark's jitted train step + device-resident inputs.
+
+    Returns dict with: step, state, xd, yd, mask, B (per-fold global batch),
+    n_chips, fetch_loss. Identical construction to what main() times, so a
+    compile here warms the persistent cache for the headline run.
+    """
     import jax
 
     # persistent compilation cache: the 620px hier-HRNet graph is large and
@@ -230,6 +243,19 @@ def main():
         # Mean over folds keeps the field comparable to single-fold runs.
         return float(np.asarray(jax.device_get(aux["loss"])).mean())
 
+    return {
+        "step": step, "state": state, "xd": xd, "yd": yd, "mask": mask,
+        "B": B, "n_chips": n_chips, "fetch_loss": fetch_loss,
+    }
+
+
+def main():
+    args = make_parser().parse_args()
+    built = build_step(args)
+    step, xd, yd, mask = built["step"], built["xd"], built["yd"], built["mask"]
+    state, fetch_loss = built["state"], built["fetch_loss"]
+    B, n_chips = built["B"], built["n_chips"]
+
     aux = None
     for _ in range(args.warmup):
         state, aux = step(state, xd, yd, mask)
@@ -251,6 +277,7 @@ def main():
         if ref.get("ref_cpu_images_per_sec"):
             vs = ips_per_chip / ref["ref_cpu_images_per_sec"]
 
+    S = args.img
     print(json.dumps({
         "metric": f"{'flat' if args.flat else 'hier'}_{args.model}"
                   f"{'' if args.model != 'hrnet' or args.width == 'w48' else '_' + args.width}"

@@ -45,10 +45,21 @@ def agreement_from_masks(pred: np.ndarray, gt: np.ndarray) -> Tuple[float, float
 
     ``pred`` binarized as exactly-255 pixels; ``gt`` resized to pred's shape
     and binarized as >0 (matching the reference's asymmetric conventions).
+
+    The reference resizes gt with ``skimage.transform.resize(...,
+    anti_aliasing=False)`` — center-aligned BILINEAR on [0,1] floats — and
+    then thresholds >0 (AgreementModule.py:33-37), so boundary pixels whose
+    bilinear support touches any nonzero gt pixel count as foreground.
+    cv2.INTER_LINEAR on the normalized float image uses the same
+    center-aligned coordinates (and clamp==symmetric-reflect for order-1
+    within half a pixel of the border), reproducing that set exactly;
+    verified float-level against the reference in
+    tests/test_agreement_oracle.py.
     """
     if gt.shape != pred.shape:
-        gt = cv2.resize(gt, (pred.shape[1], pred.shape[0]),
-                        interpolation=cv2.INTER_NEAREST)
+        gt = cv2.resize(gt.astype(np.float32) / 255.0,
+                        (pred.shape[1], pred.shape[0]),
+                        interpolation=cv2.INTER_LINEAR) * 255.0
     a = (pred == 255).ravel()
     b = (gt.astype(np.float64).ravel() / 255.0) > 0.0
     both = np.logical_and(a, b)
