@@ -50,6 +50,14 @@ def get_args(argv=None):
                    help="int8 PTQ the conv stack before export (uniform "
                         "fallback calibration unless real batches are wired "
                         "through the Predictor API)")
+    p.add_argument("--ensemble", type=str, default="",
+                   help="'best' or 'last': treat --model-weights as a train "
+                        "run dir and export the fold-ensemble forward; the "
+                        "stacked fold weights ship beside the artifact as "
+                        "<out>.weights.npz")
+    p.add_argument("--tta", type=str, default="False",
+                   help="bake hflip test-time augmentation into the "
+                        "exported forward (train/evaluate.py tta_apply)")
     return p.parse_args(argv)
 
 
@@ -69,8 +77,13 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
     )
     outputs = tuple(s for s in args.outputs.split(",") if s)
-    pred = Predictor(cfg, args.model_weights, quantize=_bool(args.quantize),
-                     outputs=outputs)
+    weights = (Predictor.fold_checkpoints(args.model_weights, args.ensemble)
+               if args.ensemble else args.model_weights)
+    if args.ensemble and "logits" in outputs:
+        # ensembles emit fold-mean probabilities; logits are None there
+        outputs = tuple(k for k in outputs if k != "logits")
+    pred = Predictor(cfg, weights, quantize=_bool(args.quantize),
+                     outputs=outputs, tta=_bool(args.tta))
     batch = None if args.batch == "poly" else int(args.batch)
     platforms = (tuple(s for s in args.platforms.split(",") if s) or None)
     path = export_predictor(pred, args.out, batch=batch, platforms=platforms)

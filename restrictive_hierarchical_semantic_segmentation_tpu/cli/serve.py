@@ -55,17 +55,23 @@ def get_args(argv=None):
     p.add_argument("--ensemble", type=str, default="",
                    help="'best' or 'last': treat --model-weights as a run "
                         "dir and fold-ensemble every fold_N/<which>.ckpt")
+    p.add_argument("--tta", type=str, default="False",
+                   help="hflip test-time augmentation inside the compiled "
+                        "forward (2x compute per request)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8600)
     p.add_argument("--max-body-mb", type=int, default=64,
                    help="reject request bodies larger than this (413)")
     p.add_argument("--io", type=str, default="f32", choices=["f32", "u8"],
                    help="f32: host-normalized float input (exact eval-chain "
-                        "parity). u8: ship raw uint8 pixels and normalize "
-                        "on device — 4-12x smaller host->device transfer "
-                        "(tools/serving_latency_b1.py levers; the resize "
-                        "then runs on u8, so pixels quantize to 8 bits "
-                        "before normalization)")
+                        "parity). u8: the host still decodes and resizes in "
+                        "float32, then re-quantizes the resized pixels to "
+                        "uint8 and ships those raw — 4-12x smaller "
+                        "host->device transfer (tools/serving_latency_b1.py "
+                        "levers); normalization runs on device. Only delta "
+                        "vs f32: <=0.5/255 per-pixel post-resize "
+                        "quantization. u8 mode rejects non-8-bit uploads "
+                        "(400) since their >255 values cannot ship losslessly")
     p.add_argument("--warmup", type=str, default="True",
                    help="compile the batch-1 forward before accepting "
                         "requests (first request is slow otherwise)")
@@ -94,6 +100,13 @@ def preprocess_bytes(data: bytes, img_size: int, io: str = "f32"):
         img = decode_image_bytes_compact(data)
     except ValueError:
         raise ValueError("request body is not a decodable image")
+    if io == "u8" and img.dtype != np.uint8:
+        # 16-bit pixels carry values > 255 through the training decode
+        # convention (/255, not /dtype-max); re-quantizing them to uint8
+        # would clip, silently diverging from the f32 path. Refuse instead.
+        raise ValueError(
+            f"--io u8 requires 8-bit images (decoded dtype {img.dtype}); "
+            "use the default f32 mode for deeper bit depths")
     x = img.astype(np.float32) / 255.0
     x = T.resize_bilinear_np(x, (img_size, img_size))
     if x.ndim == 2:
@@ -196,19 +209,23 @@ def make_server(predictor, tree, img_size: int, host: str = "127.0.0.1",
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return
-            with lock:
-                out = predictor(x)
-            cmap = np.asarray(out["class_maps"][level][0])
-            names = level_names[level]
-            if fmt == "json":
-                self._json(200, {"level": level, "classes": names,
-                                 "class_map": cmap.tolist()})
-                return
-            import cv2
+            try:
+                with lock:
+                    out = predictor(x)
+                cmap = np.asarray(out["class_maps"][level][0])
+                names = level_names[level]
+                if fmt == "json":
+                    self._json(200, {"level": level, "classes": names,
+                                     "class_map": cmap.tolist()})
+                    return
+                import cv2
 
-            ok, png = cv2.imencode(".png", cmap.astype(np.uint8))
-            if not ok:
-                self._json(500, {"error": "png encode failed"})
+                ok, png = cv2.imencode(".png", cmap.astype(np.uint8))
+                if not ok:
+                    raise RuntimeError("png encode failed")
+            except Exception as e:  # JAX runtime / cv2 errors: a 500 reply
+                # beats the stdlib default (traceback + dropped connection)
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             body = png.tobytes()
             self.send_response(200)
@@ -248,7 +265,8 @@ def main(argv=None):
     predictor = Predictor(cfg, weights, tree=tree,
                           quantize=_bool(args.quantize),
                           outputs=("class_maps",),
-                          class_map_dtype=cm_dtype)
+                          class_map_dtype=cm_dtype,
+                          tta=_bool(args.tta))
     if _bool(args.warmup):
         print("warming up (batch-1 compile)...", flush=True)
         predictor.warmup(

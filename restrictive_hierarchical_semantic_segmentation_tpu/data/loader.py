@@ -70,7 +70,15 @@ def _split_cache_budget(dataset, num_workers: int):
     from .dataset import ByteCappedCache
 
     dataset = copy.copy(dataset)
-    dataset._cache = ByteCappedCache(cache.cap_bytes // num_workers)
+    per_worker = cache.cap_bytes // num_workers
+    if per_worker == 0:
+        # budget smaller than the worker count: process-mode caching is
+        # effectively OFF. Say so — a silent zero reads as "cache on".
+        print(f"[loader] cache_bytes={cache.cap_bytes} split over "
+              f"{num_workers} workers -> 0 bytes each: per-worker caching "
+              "disabled (raise cache_bytes or lower num_workers)",
+              flush=True)
+    dataset._cache = ByteCappedCache(per_worker)
     dataset._bits_cache = dataset._img_cache = dataset._cache
     return dataset
 

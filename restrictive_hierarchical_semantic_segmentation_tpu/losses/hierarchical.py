@@ -156,7 +156,9 @@ def consistency_loss(
             child_sum = jnp.einsum("...c,cp->...p", p_cur, a,
                                    precision=jax.lax.Precision.HIGHEST)
             sel = np.asarray(parents, np.int64)
-            diff = jnp.abs(child_sum[..., sel] - p_prev[..., sel])
+            from ..ops.restrictive import static_channel_take
+            diff = jnp.abs(static_channel_take(child_sum, sel)
+                           - static_channel_take(p_prev, sel))
             # mean over (batch, spatial) per parent == the reference's
             # per-parent .mean(); parents all share the same extent
             total = total + jnp.sum(jnp.mean(
@@ -166,9 +168,10 @@ def consistency_loss(
             continue
         # static per-parent member lists: slice+sum, never a
         # (..., C_child, C_parent) broadcast (HBM blowup at full res)
+        from ..ops.restrictive import static_channel_take
         for p_idx in parents:
             members = [c for c in range(len(pidx)) if int(pidx[c]) == p_idx]
-            child_sum = jnp.sum(p_cur[..., members], axis=-1)
+            child_sum = jnp.sum(static_channel_take(p_cur, members), axis=-1)
             diff = jnp.abs(child_sum - p_prev[..., p_idx])
             total = total + jnp.mean(diff)
             count += 1

@@ -32,10 +32,70 @@ import numpy as np
 
 __all__ = [
     "classmaps_from_outputs",
+    "level_onehots",
     "level_confusion_matrices",
     "metrics_from_confusion",
     "MetricAccumulator",
 ]
+
+
+def _first_max_onehot(x: jax.Array) -> jax.Array:
+    """``one_hot(argmax(x, -1))`` as a fused elementwise formulation.
+
+    ``argmax`` picks the FIRST occurrence of the maximum; so does
+    ``(x == max) & (cumsum(x == max) == 1)``. On TPU this fuses into the
+    surrounding elementwise work instead of lowering to an iota+reduce pass
+    over the full-resolution tensor with the channel axis minor (measured
+    3.2 ms per argmax at 620px b16 in results/profile_r4 — 42 GB/s — vs
+    fused elementwise at HBM speed)."""
+    eq = x == jnp.max(x, axis=-1, keepdims=True)
+    first = jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1
+    return (eq & first).astype(jnp.float32)
+
+
+def level_onehots(
+    outputs_per_level: Sequence[jax.Array],
+    targets_per_level: Sequence[jax.Array],
+) -> List[tuple]:
+    """Masked one-hot class maps per level, ready for confusion contraction.
+
+    Exactly the reference's scoring convention (train.py:217-231,
+    predictEval.py:401-416) — argmax of the scores, ``-1`` target pixels
+    zeroed in pred and target one-hots, child levels get a synthetic
+    background channel (``sum(channels)==0``) prepended — but WITHOUT the
+    one-hot -> argmax -> one-hot round-trips of the naive formulation:
+    the one-hots feed the confusion einsum directly.
+
+    Returns per level: ``(pred_oh, target_oh, valid, num_classes, child)``
+    with pred_oh/target_oh (B, H, W, C') exact one-hot rows and
+    ``valid`` (B, H, W) the pixels scored (child levels ignore
+    target==background, performance_metrics.py:62).
+    """
+    out = []
+    for L, (o, t) in enumerate(zip(outputs_per_level, targets_per_level)):
+        child = L > 0
+        masked = t == -1.0
+        pred_oh = jnp.where(masked, 0.0, _first_max_onehot(o))
+        t_m = jnp.where(masked, 0.0, t.astype(jnp.float32))
+        # all-zero rows (fully masked pixel / no positive class) argmax to
+        # class 0 in the reference; synthesize that explicitly
+        pred_bg = (jnp.sum(pred_oh, -1, keepdims=True) == 0).astype(jnp.float32)
+        t_bg = (jnp.sum(t_m, -1, keepdims=True) == 0).astype(jnp.float32)
+        if child:
+            pred_oh = jnp.concatenate([pred_bg, pred_oh], -1)
+            t_aug = jnp.concatenate([t_bg, t_m], -1)
+            valid = t_bg[..., 0] == 0.0  # ignore_index=0
+        else:
+            pred_oh = jnp.concatenate(
+                [pred_oh[..., :1] + pred_bg, pred_oh[..., 1:]], -1
+            )
+            t_aug = jnp.concatenate([t_m[..., :1] + t_bg, t_m[..., 1:]], -1)
+            valid = jnp.ones(t.shape[:-1], bool)
+        # targets may be multi-hot at augmentation boundaries; the reference
+        # argmax keeps the FIRST positive channel only
+        t_oh = _first_max_onehot(t_aug)
+        out.append((pred_oh, t_oh, valid, pred_oh.shape[-1], child))
+    return out
 
 
 def classmaps_from_outputs(
@@ -47,23 +107,15 @@ def classmaps_from_outputs(
     outputs: per-level (B, H, W, C) scores (logits/probs/one-hots — only the
     argmax is used). targets: per-level (B, H, W, C) in {-1, 0, 1}.
     Returns per level: (pred_map, target_map, num_classes_with_bg, child).
+    (Index-map view over :func:`level_onehots` — used by the offline eval's
+    PNG dumps; the hot train/eval steps consume the one-hots directly.)
     """
-    out = []
-    for L, (o, t) in enumerate(zip(outputs_per_level, targets_per_level)):
-        child = L > 0
-        pred_oh = jax.nn.one_hot(jnp.argmax(o, -1), o.shape[-1], dtype=jnp.float32)
-        masked = t == -1.0
-        pred_oh = jnp.where(masked, 0.0, pred_oh)
-        t_m = jnp.where(masked, 0.0, t.astype(jnp.float32))
-        if child:
-            pred_bg = (jnp.sum(pred_oh, -1, keepdims=True) == 0).astype(jnp.float32)
-            t_bg = (jnp.sum(t_m, -1, keepdims=True) == 0).astype(jnp.float32)
-            pred_oh = jnp.concatenate([pred_bg, pred_oh], -1)
-            t_m = jnp.concatenate([t_bg, t_m], -1)
-        out.append(
-            (jnp.argmax(pred_oh, -1), jnp.argmax(t_m, -1), pred_oh.shape[-1], child)
+    return [
+        (jnp.argmax(p_oh, -1), jnp.argmax(t_oh, -1), c, child)
+        for p_oh, t_oh, _, c, child in level_onehots(
+            outputs_per_level, targets_per_level
         )
-    return out
+    ]
 
 
 def level_confusion_matrices(
@@ -82,36 +134,38 @@ def level_confusion_matrices(
     must score each image separately to reproduce its numbers exactly.
     """
     mats = []
-    for pred, targ, c, child in classmaps_from_outputs(
+    for p_oh, t_oh, valid, c, child in level_onehots(
         outputs_per_level, targets_per_level
     ):
-        b = pred.shape[0]
-        p = pred.reshape(b, -1) if per_image else pred.reshape(1, -1)
-        t = targ.reshape(b, -1) if per_image else targ.reshape(1, -1)
-        if child:
-            valid = t != 0  # ignore_index=0 (performance_metrics.py:62)
-        else:
-            valid = jnp.ones_like(t, dtype=bool)
-        n = p.shape[-1]
+        b = p_oh.shape[0]
+        lead = (b, -1, c) if per_image else (1, -1, c)
+        p = p_oh.reshape(lead)
+        t = t_oh.reshape(lead) * valid.astype(jnp.float32).reshape(lead[:2])[
+            ..., None
+        ]
+        # MXU path: one-hot contraction. Exact in fp32 while every cell
+        # count stays below 2^24; HIGHEST precision keeps fp32 on TPU.
+        # Beyond that, chunk the pixel axis so each fp32 partial stays exact
+        # and accumulate in int32.
+        n = p.shape[1]
         if n < (1 << 23):
-            # MXU path: one-hot contraction. Exact in fp32 while every cell
-            # count stays below 2^24; HIGHEST precision keeps fp32 on TPU.
-            t_oh = jax.nn.one_hot(t, c, dtype=jnp.float32)
-            t_oh = t_oh * valid.astype(jnp.float32)[..., None]
-            p_oh = jax.nn.one_hot(p, c, dtype=jnp.float32)
             cm = jnp.einsum(
-                "bnc,bnd->bcd", t_oh, p_oh,
+                "bnc,bnd->bcd", t, p,
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
         else:
-            # scatter fallback for huge pixel counts
-            idx = jnp.where(valid, t * c + p, c * c)
-            offs = jnp.arange(idx.shape[0])[:, None] * (c * c + 1)
-            flat = jnp.zeros((idx.shape[0] * (c * c + 1),), jnp.int32)
-            flat = flat.at[(idx + offs).reshape(-1)].add(1)
-            cm = flat.reshape(idx.shape[0], c * c + 1)[:, : c * c].reshape(
-                idx.shape[0], c, c
-            )
+            k = 1 << 22
+            pad = (-n) % k
+            if pad:  # zero rows contribute nothing
+                p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)))
+                t = jnp.pad(t, ((0, 0), (0, pad), (0, 0)))
+            q = p.shape[1] // k
+            cm = jnp.einsum(
+                "bqnc,bqnd->bqcd",
+                t.reshape(t.shape[0], q, k, c),
+                p.reshape(p.shape[0], q, k, c),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32).sum(axis=1)
         mats.append(cm if per_image else cm[0])
     return mats
 

@@ -30,9 +30,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gated_grouped_softmax", "compose_children", "grouped_conditional_kl"]
+__all__ = ["gated_grouped_softmax", "compose_children", "grouped_conditional_kl",
+           "static_channel_take"]
 
 _EPS = 1e-6  # reference eps, models.py:274/:761
+
+
+def static_channel_take(x: jax.Array, idx) -> jax.Array:
+    """``x[..., idx]`` for a STATIC integer index list — as slices + concat.
+
+    ``jnp.take``/fancy indexing lower to an XLA gather, which the TPU backend
+    turns into a serial while + dynamic-update-slice loop over the indices at
+    full activation resolution (~25 ms/step measured across the 620px train
+    step, results/profile_r4) with a scatter-add transpose. Static slices
+    fuse, and their transpose is slice-wise adds. Bit-exact replacement.
+    """
+    idx = [int(i) for i in np.asarray(idx).ravel()]
+    runs: list = []  # consecutive ascending runs -> one slice each
+    for i in idx:
+        if runs and runs[-1][1] == i:
+            runs[-1][1] = i + 1
+        else:
+            runs.append([i, i + 1])
+    parts = [jax.lax.slice_in_dim(x, a, b, axis=-1) for a, b in runs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 # Above this many parent groups the per-group unrolled reductions (trace time
 # and program size linear in the parent count) switch to the vectorized
@@ -69,22 +90,38 @@ def gated_grouped_softmax(
     for c in range(n_child):
         groups.setdefault(int(pidx_np[c]), []).append(c)
 
-    p_gathered = jnp.take(p_parent, pidx, axis=-1)  # (..., C_child)
+    wide = len(groups) > GROUP_UNROLL_LIMIT
+    if wide:
+        # one-hot contraction keeps the jaxpr size tree-independent on wide
+        # trees; parent->child broadcast of per-parent stats is the SAME
+        # matrix A transposed, still an MXU matmul (exact: each row of A has
+        # one 1, the contraction adds zeros), never an XLA gather
+        a = jnp.asarray(np.asarray(child_to_parent), jnp.float32)
+
+        def broadcast_parents(stat):  # (..., C_parent) -> (..., C_child)
+            return jnp.einsum("...p,cp->...c", stat, a,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        p_gathered = broadcast_parents(p_parent)
+    else:
+        p_gathered = static_channel_take(p_parent, pidx_np)  # (..., C_child)
     gated = z_children + jnp.log(p_gathered + _EPS)
 
-    if len(groups) > GROUP_UNROLL_LIMIT:
+    if wide:
         # vectorized segment path for wide trees (see GROUP_UNROLL_LIMIT)
         n_parent = int(np.asarray(child_to_parent).shape[1])
-        a = jnp.asarray(np.asarray(child_to_parent), jnp.float32)
         g2 = jnp.moveaxis(gated, -1, 0)  # (C_child, ...)
         gmax = jax.ops.segment_max(g2, pidx, num_segments=n_parent,
                                    indices_are_sorted=False)
         group_max = jnp.moveaxis(gmax, 0, -1)  # (..., C_parent)
-        gated = gated - jnp.take(group_max, pidx, axis=-1)
+        # childless parents' segment_max is -inf; no child reads them, but
+        # the one-hot contraction would turn 0 * -inf into NaN — zero them
+        group_max = jnp.where(jnp.isfinite(group_max), group_max, 0.0)
+        gated = gated - broadcast_parents(group_max)
         e = jnp.exp(gated)
         sums = jnp.einsum("...c,cp->...p", e, a,
                           precision=jax.lax.Precision.HIGHEST)
-        q = e / jnp.take(sums, pidx, axis=-1)
+        q = e / broadcast_parents(sums)
         return q, p_gathered * q
 
     # Per-group softmax via STATIC per-child sibling reductions. The groups
@@ -94,7 +131,7 @@ def gated_grouped_softmax(
     # be the dominant HBM traffic of the whole model.
     group_max_c = [None] * n_child
     for members in groups.values():
-        m = jnp.max(gated[..., members], axis=-1)
+        m = jnp.max(static_channel_take(gated, members), axis=-1)
         for c in members:
             group_max_c[c] = m
     gated = gated - jnp.stack(group_max_c, axis=-1)
@@ -102,7 +139,7 @@ def gated_grouped_softmax(
     e = jnp.exp(gated)
     group_sum_c = [None] * n_child
     for members in groups.values():
-        s = jnp.sum(e[..., members], axis=-1)
+        s = jnp.sum(static_channel_take(e, members), axis=-1)
         for c in members:
             group_sum_c[c] = s
     q = e / jnp.stack(group_sum_c, axis=-1)

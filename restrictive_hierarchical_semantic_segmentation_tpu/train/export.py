@@ -18,10 +18,14 @@ as serialized StableHLO via :mod:`jax.export`, plus a JSON metadata sidecar:
   :class:`ClassTree`) and the requested outputs so a consumer can decode
   class maps without the tree assets.
 
-Ensemble predictors are not exportable: their fold weights are runtime
-arguments by design (program-size limits — serving.py), which defeats the
-self-contained artifact. Export per-fold artifacts instead and average
-probabilities host-side, or serve the ensemble through :class:`Predictor`.
+Fold-ensemble predictors export too — their stacked fold weights are a
+*runtime argument* of the compiled forward (program-size limits —
+serving.py), which is exactly the form :mod:`jax.export` serializes: the
+artifact holds the vmapped fold-mean program and the weights ship beside it
+as ``<artifact>.weights.npz`` (loaded once onto device by
+:class:`ExportedPredictor`). Mesh-sharded ensembles (fold axis over chips)
+are the one refusal: the artifact would pin the exporting mesh; export the
+unsharded ensemble (or per-fold artifacts) instead.
 """
 from __future__ import annotations
 
@@ -34,6 +38,40 @@ import numpy as np
 __all__ = ["export_predictor", "load_exported", "ExportedPredictor"]
 
 _SIDECAR_SUFFIX = ".json"
+_WEIGHTS_SUFFIX = ".weights.npz"
+
+
+def _flatten_tree(d, prefix=""):
+    """Nested dict-of-arrays -> ('a/b/c', array) pairs (flax param trees
+    never contain '/' in keys). bfloat16 leaves — which the npy format
+    cannot hold — ship as uint16 bit-views tagged '::bf16'."""
+    for k in sorted(d):
+        key = f"{prefix}/{k}" if prefix else str(k)
+        v = d[k]
+        if isinstance(v, dict):
+            yield from _flatten_tree(v, key)
+            continue
+        v = np.asarray(v)
+        if v.dtype.name == "bfloat16":
+            yield key + "::bf16", v.view(np.uint16)
+        else:
+            yield key, v
+
+
+def _unflatten_tree(flat):
+    out: Dict = {}
+    for key, v in flat.items():
+        if key.endswith("::bf16"):
+            import ml_dtypes
+
+            key = key[: -len("::bf16")]
+            v = v.view(ml_dtypes.bfloat16)
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
 
 
 def export_predictor(
@@ -45,7 +83,9 @@ def export_predictor(
     """Serialize ``predictor``'s compiled forward to ``out_path``.
 
     Args:
-      predictor: a single-checkpoint :class:`~.serving.Predictor`.
+      predictor: a :class:`~.serving.Predictor` — single-checkpoint or a
+        fold ensemble (mesh=None); ensembles additionally write the stacked
+        fold weights to ``out_path + ".weights.npz"``.
       out_path: artifact path (conventionally ``*.stablehlo``); a JSON
         metadata sidecar is written next to it at ``out_path + ".json"``.
       batch: static batch size, or ``None`` (default) for a symbolic batch
@@ -59,11 +99,12 @@ def export_predictor(
     import jax
     from jax import export as jexport
 
-    if getattr(predictor, "_stacked", None) is not None:
+    ensemble = getattr(predictor, "_stacked", None) is not None
+    if ensemble and getattr(predictor, "_ens_mesh", None) is not None:
         raise ValueError(
-            "fold-ensemble Predictors are not exportable (their stacked fold "
-            "weights are runtime arguments by design); export per-fold "
-            "artifacts instead")
+            "mesh-sharded fold-ensemble Predictors are not exportable (the "
+            "artifact would pin the exporting mesh); export the unsharded "
+            "ensemble (mesh=None) or per-fold artifacts instead")
 
     s = predictor.cfg.img_size
     if batch is None:
@@ -75,7 +116,18 @@ def export_predictor(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jexport.export(jax.jit(predictor._fn), **kwargs)(spec)
+    n_folds = 0
+    if ensemble:
+        # the ensemble forward takes the stacked fold weights as a runtime
+        # argument; they ship beside the artifact as an .npz (loaded once
+        # onto device by ExportedPredictor)
+        stacked = predictor._stacked
+        n_folds = int(jax.tree_util.tree_leaves(stacked)[0].shape[0])
+        w_spec = jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), stacked)
+        exported = jexport.export(predictor._ens_jit, **kwargs)(w_spec, spec)
+    else:
+        exported = jexport.export(jax.jit(predictor._fn), **kwargs)(spec)
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     blob = exported.serialize()
@@ -83,6 +135,12 @@ def export_predictor(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, out_path)  # two-phase, like the checkpoint writer
+    if ensemble:
+        flat = dict(_flatten_tree(jax.device_get(predictor._stacked)))
+        wtmp = out_path + _WEIGHTS_SUFFIX + ".tmp"
+        with open(wtmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(wtmp, out_path + _WEIGHTS_SUFFIX)
 
     tree = predictor.tree
     cfg = predictor.cfg
@@ -107,6 +165,11 @@ def export_predictor(
             "compute_dtype": cfg.compute_dtype,
             "quantized": hasattr(predictor, "act_scales"),
         },
+        "ensemble": (
+            {"folds": n_folds,
+             "weights_file": os.path.basename(out_path) + _WEIGHTS_SUFFIX}
+            if ensemble else None
+        ),
         "artifact_bytes": len(blob),
     }
     with open(out_path + _SIDECAR_SUFFIX, "w") as f:
@@ -135,12 +198,16 @@ class ExportedPredictor:
     sidecar is missing — the artifact alone is still runnable).
     """
 
-    def __init__(self, exported, meta: Dict):
+    def __init__(self, exported, meta: Dict, stacked_weights=None):
         import jax
 
         self.meta = meta
         self._exported = exported
         self._call = jax.jit(exported.call)
+        # fold-ensemble artifacts: the stacked weights live on device once
+        # and ride as the program's first argument per call
+        self._stacked = (jax.device_put(stacked_weights)
+                         if stacked_weights is not None else None)
 
     @property
     def platforms(self):
@@ -149,7 +216,9 @@ class ExportedPredictor:
     def __call__(self, images: np.ndarray) -> Dict:
         import jax
 
-        out = self._call(np.asarray(images, np.float32))
+        x = np.asarray(images, np.float32)
+        out = (self._call(self._stacked, x) if self._stacked is not None
+               else self._call(x))
         return jax.tree_util.tree_map(np.asarray, out)
 
 
@@ -168,4 +237,9 @@ def load_exported(path: str) -> ExportedPredictor:
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             meta = json.load(f)
-    return ExportedPredictor(exported, meta)
+    stacked = None
+    wfile = path + _WEIGHTS_SUFFIX
+    if meta.get("ensemble") or os.path.exists(wfile):
+        with np.load(wfile) as z:
+            stacked = _unflatten_tree({k: z[k] for k in z.files})
+    return ExportedPredictor(exported, meta, stacked_weights=stacked)

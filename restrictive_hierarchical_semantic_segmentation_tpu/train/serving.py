@@ -79,7 +79,8 @@ class Predictor:
                  calib_batches: Optional[List[np.ndarray]] = None,
                  outputs: Sequence[str] = ("logits", "probs", "class_maps"),
                  mesh=None,
-                 class_map_dtype: str = "int32"):
+                 class_map_dtype: str = "int32",
+                 tta: bool = False):
         from ..utils.compile_cache import enable
 
         enable()
@@ -144,6 +145,13 @@ class Predictor:
             )
             apply_fn = quantized_apply(model.apply, scales)
             self.act_scales = scales
+        if tta:
+            # hflip test-time augmentation INSIDE the compiled forward (the
+            # same wrapper the Evaluator uses) — composes with quantize,
+            # ensembling, and export
+            from .evaluate import tta_apply
+
+            apply_fn = tta_apply(apply_fn)
 
         # Bake weights as constants -> XLA folds BN into convs and prunes
         # the training-only graph.
@@ -294,6 +302,12 @@ class Predictor:
 
             def _fn(x):
                 return _ens(self._stacked, x)
+
+            # exposed for jax.export: the jitted (stacked_weights, x) entry
+            # (train/export.py ships the weights beside the artifact).
+            # Mesh-sharded ensembles export per the mesh note there.
+            self._ens_jit = _ens
+            self._ens_mesh = mesh
 
         self._fn = _fn
 

@@ -128,6 +128,13 @@ def main():
     ap.add_argument("--folds", type=str, default="1",
                     help="comma list of single folds to score")
     ap.add_argument("--ensemble", action="store_true")
+    ap.add_argument("--model-select", type=int, default=1, choices=[0, 1],
+                    help="0 = UNet, 1 = HRNet — must match the run dir")
+    ap.add_argument("--model-type", type=int, default=1, choices=[0, 1],
+                    help="0 = flat, 1 = hierarchical — must match the run dir")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--config", default="",
+                    help="HRNet width preset/yaml (config/hrnet.py), e.g. w64")
     args = ap.parse_args()
 
     from restrictive_hierarchical_semantic_segmentation_tpu.config.run import (
@@ -143,8 +150,9 @@ def main():
     cfg = RunConfig(
         tree_root=os.path.join(HERE, "assets/class_tree_tl.json"),
         class_map=os.path.join(HERE, "assets/class_map.csv"),
-        img_size=args.img, model_select=1, model_type=1,
-        compute_dtype="bfloat16",
+        img_size=args.img, model_select=args.model_select,
+        model_type=args.model_type, hrnet_yaml=args.config or None,
+        compute_dtype=args.compute_dtype,
     )
     tree = ClassTree.from_json(cfg.tree_root, cfg.class_map)
     samples = build_test_set(args.n, args.img, args.seed)
