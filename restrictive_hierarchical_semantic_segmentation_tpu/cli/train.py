@@ -111,6 +111,15 @@ def get_args(argv=None):
                    help="device-resident train set + on-device augmentation "
                         "(zero host work per epoch; distributionally "
                         "equivalent to the host pipeline)")
+    p.add_argument("--dist-coordinator", type=str, default="",
+                   help="multi-process training (jax.distributed over "
+                        "DCN/gloo): coordinator address host:port; every "
+                        "process runs this CLI with the same flags, process "
+                        "0 writes all artifacts")
+    p.add_argument("--dist-procs", type=int, default=0,
+                   help="total process count for --dist-coordinator")
+    p.add_argument("--dist-proc-id", type=int, default=-1,
+                   help="this process's id in [0, --dist-procs)")
     return p.parse_args(argv)
 
 
@@ -182,6 +191,26 @@ def main(argv=None):
         print("--multi-gpu is ignored: data parallelism is automatic over "
               "the device mesh (see --n-space / --fold-parallel; "
               "MIGRATION.md 'Parallelism').")
+    import os
+
+    if os.environ.get("RHSS_PLATFORM"):
+        # reliable platform/device-count override (the JAX_PLATFORMS env var
+        # alone does not stop an installed TPU plugin from claiming the
+        # backend — tests/conftest.py note); used by the multi-process
+        # validation harness (tools/multihost_trainer_check.py)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["RHSS_PLATFORM"])
+        if os.environ.get("RHSS_CPU_DEVICES"):
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["RHSS_CPU_DEVICES"]))
+    if args.dist_coordinator:
+        # must run before any other jax backend use in this process
+        from ..parallel.mesh import init_distributed
+
+        init_distributed(coordinator=args.dist_coordinator,
+                         num_processes=args.dist_procs,
+                         process_id=args.dist_proc_id)
     cfg = config_from_args(args)
     from ..train.loop import train
 

@@ -227,13 +227,24 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     import jax
 
     queue = collections.deque()
+    multiproc = jax.process_count() > 1
+
+    def _put_one(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if multiproc and not getattr(sharding, "is_fully_addressable", True):
+            # multi-process (jax.distributed): device_put cannot target
+            # remote devices. Every process runs the same deterministic
+            # loader, so the full global batch is locally available —
+            # assemble the global array by slicing this process's shards
+            # out of it (no cross-process communication).
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+        return jax.device_put(x, sharding)
 
     def put(batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding) if sharding is not None
-            else jax.device_put(x),
-            batch,
-        )
+        return jax.tree_util.tree_map(_put_one, batch)
 
     it = iter(iterator)
     try:

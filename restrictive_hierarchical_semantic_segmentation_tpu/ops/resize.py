@@ -42,10 +42,20 @@ __all__ = [
     "set_default_method",
 ]
 
-_DEFAULT_METHOD = "gather"
+# None = resolve per platform on first use: "matmul" on TPU (runs on the MXU
+# — measured 0.3622 vs 0.4206 s/step for the full 620px hier-W48 train step,
+# BENCHMARKS.md round 4 — and partitions under every GSPMD config), "gather"
+# elsewhere (bit-matches the torch oracles in the CPU parity suites).
+_DEFAULT_METHOD = None
 
 
 def get_default_method() -> str:
+    global _DEFAULT_METHOD
+    if _DEFAULT_METHOD is None:
+        import jax
+
+        _DEFAULT_METHOD = ("matmul" if jax.default_backend() == "tpu"
+                           else "gather")
     return _DEFAULT_METHOD
 
 
@@ -150,11 +160,12 @@ def resize_bilinear(x: jax.Array, size: tuple, align_corners: bool = True,
     mode='bilinear', align_corners=True)``; ``False`` matches the PyTorch /
     torchvision half-pixel convention (verified against torch CPU oracles in
     ``tests/test_ops.py``). ``method`` (default: the ``resize_method``
-    context, initially "gather") picks the gather/lerp or the gather-free
+    context; initially "matmul" on TPU, "gather" elsewhere — see
+    ``_DEFAULT_METHOD``) picks the gather/lerp or the gather-free
     banded-matmul formulation — same math, different XLA ops.
     """
     return _resize_bilinear_impl(x, size, align_corners,
-                                 method or _DEFAULT_METHOD)
+                                 method or get_default_method())
 
 
 def upsample2x_align_corners(x: jax.Array) -> jax.Array:

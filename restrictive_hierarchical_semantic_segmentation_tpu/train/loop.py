@@ -183,6 +183,12 @@ class Trainer:
         self.cfg = cfg
         self.tree = tree
         self.save_loc = save_loc
+        # multi-process (jax.distributed) runs: every process executes the
+        # same replicated computation; exactly one writes artifacts
+        # (metrics.csv, checkpoints, logs, dumps) and prints progress
+        import jax as _jax_pi
+
+        self.is_main = _jax_pi.process_index() == 0
         os.makedirs(save_loc, exist_ok=True)
         from ..utils.compile_cache import enable as _enable_cache
 
@@ -203,9 +209,32 @@ class Trainer:
         # divisor of batch_size that fits the available devices
         import jax as _jax
 
+        procs = _jax.process_count()
         avail = len(_jax.devices()) // cfg.n_space
-        n_data = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
-        self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space)
+        if procs == 1:
+            n_data = max(d for d in range(1, avail + 1)
+                         if cfg.batch_size % d == 0)
+            self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space)
+        else:
+            # multi-process: the mesh must span EVERY process (a process
+            # with no addressable mesh devices can neither feed batches nor
+            # join collectives). n_data*n_space must divide evenly across
+            # processes; each contributes the same local device prefix.
+            cand = [d for d in range(1, avail + 1)
+                    if cfg.batch_size % d == 0
+                    and (d * cfg.n_space) % procs == 0]
+            if not cand:
+                raise ValueError(
+                    f"no data-axis size divides batch {cfg.batch_size} and "
+                    f"spreads {cfg.n_space}-way space over {procs} processes")
+            n_data = max(cand)
+            per = n_data * cfg.n_space // procs
+            by_proc: dict = {}
+            for d in _jax.devices():
+                by_proc.setdefault(d.process_index, []).append(d)
+            devs = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
+            self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space,
+                                  devices=devs)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         hrnet_cfg = None
         if cfg.hrnet_yaml:
@@ -242,7 +271,8 @@ class Trainer:
                     cfg.model_weights, self.state
                 )
                 self._resume_meta = meta
-                print(f"Resumed from {cfg.model_weights}: {meta}")
+                if self.is_main:
+                    print(f"Resumed from {cfg.model_weights}: {meta}")
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.batch_shard = batch_sharding(self.mesh)
         if hasattr(self.train_loader, "set_sharding"):
@@ -262,13 +292,20 @@ class Trainer:
 
         lw = cfg.level_weights
         ohem = (cfg.ohem_thres, cfg.ohem_keep) if cfg.use_ohem else None
+        # multi-process: pin step outputs replicated so host fetches
+        # (checkpoint snapshots, epoch aux) never initiate a cross-process
+        # transfer that only one process would join (see steps.py)
+        shard_out = (replicated(self.mesh)
+                     if _jax_pi.process_count() > 1 else None)
         self.train_step = make_train_step(
             self.model, self.tx, tree, hier, lw, cfg.lambda_cons,
             cfg.lambda_kl, ohem=ohem, grad_accum=cfg.grad_accum,
+            out_shardings=shard_out,
         )
         self.eval_step = make_eval_step(
             self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,
             ohem=ohem, return_outputs=cfg.save_images_batch,
+            out_shardings=shard_out,
         )
         self.scheduler = ReduceLROnPlateau(
             cfg.lr, "max", 0.5, 3, min_lr=cfg.lrs_min
@@ -380,7 +417,7 @@ class Trainer:
     def run(self):
         cfg = self.cfg
         csv_path = os.path.join(self.save_loc, "metrics.csv")
-        if os.path.exists(csv_path):
+        if self.is_main and os.path.exists(csv_path):
             if self.start_epoch > 1:
                 # resume: keep history up to the resumed epoch, drop any rows
                 # a crashed run wrote beyond the checkpoint
@@ -389,9 +426,11 @@ class Trainer:
                 os.remove(csv_path)  # fresh run (train.py:599-600)
         from ..utils.logging import MetricsLogger
 
-        logger = MetricsLogger(os.path.join(self.save_loc, "logs"),
-                               tensorboard=cfg.tensorboard)
-        logger.truncate_after(self.start_epoch - 1)
+        logger = (MetricsLogger(os.path.join(self.save_loc, "logs"),
+                                tensorboard=cfg.tensorboard)
+                  if self.is_main else None)
+        if logger:
+            logger.truncate_after(self.start_epoch - 1)
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             if self.scheduler:
                 self.state = set_learning_rate(self.state, self.scheduler.lr)
@@ -399,26 +438,30 @@ class Trainer:
             dump = cfg.save_images_batch and (
                 epoch % cfg.save_images_batch_num == 0 or epoch == 1
             )
-            va = self.evaluate(epoch, dump_images=dump)
-            self._append_csv(csv_path, epoch, tr, va)
-            print(
-                f"Epoch {epoch}: train loss {tr['loss']:.4f} "
-                f"({tr['steps']} steps, {tr['time']:.1f}s) | "
-                f"val dice(no bg) {va['measure_mean']:.4f} "
-                f"iou {va['overall']['iou']:.4f} lr {self.state.lr():.5f} | "
-                f"val {va.get('sec_total', 0.0):.1f}s "
-                f"(dispatch {va.get('sec_dispatch', 0.0):.1f}s)",
-                flush=True,
-            )
-            logger.log(epoch, {
-                "loss": tr["loss"], "dice": tr["overall"]["dice"],
-                "iou": tr["overall"]["iou"],
-                "sec_per_epoch": tr["time"], "lr": self.state.lr(),
-            }, prefix="train")
-            logger.log(epoch, {
-                "loss": va["loss"], "dice_no_bg": va["measure_mean"],
-                "iou": va["overall"]["iou"], "dice": va["overall"]["dice"],
-            }, prefix="val")
+            va = self.evaluate(epoch, dump_images=dump and self.is_main)
+            if self.is_main:
+                self._append_csv(csv_path, epoch, tr, va)
+                print(
+                    f"Epoch {epoch}: train loss {tr['loss']:.4f} "
+                    f"({tr['steps']} steps, {tr['time']:.1f}s) | "
+                    f"val dice(no bg) {va['measure_mean']:.4f} "
+                    f"iou {va['overall']['iou']:.4f} "
+                    f"lr {self.state.lr():.5f} | "
+                    f"val {va.get('sec_total', 0.0):.1f}s "
+                    f"(dispatch {va.get('sec_dispatch', 0.0):.1f}s)",
+                    flush=True,
+                )
+                logger.log(epoch, {
+                    "loss": tr["loss"], "dice": tr["overall"]["dice"],
+                    "iou": tr["overall"]["iou"],
+                    "sec_per_epoch": tr["time"], "lr": self.state.lr(),
+                }, prefix="train")
+                logger.log(epoch, {
+                    "loss": va["loss"], "dice_no_bg": va["measure_mean"],
+                    "iou": va["overall"]["iou"], "dice": va["overall"]["dice"],
+                }, prefix="val")
+            # scheduler steps on EVERY process (replicated metric, identical
+            # decisions) so the LR trajectory stays in lockstep
             if self.scheduler:
                 self.scheduler.step(va["measure_mean"])
             sched_meta = (
@@ -426,11 +469,13 @@ class Trainer:
                  for k, v in self.scheduler.state_dict().items()}
                 if self.scheduler else {}
             )
-            self.ckpt.update(
-                self.state, epoch, tr["loss"], va["measure_mean"],
-                va["measure_std"], **sched_meta,
-            )
-        self.ckpt.finalize()  # drain async saves; materialize deferred best
+            if self.is_main:
+                self.ckpt.update(
+                    self.state, epoch, tr["loss"], va["measure_mean"],
+                    va["measure_std"], **sched_meta,
+                )
+        if self.is_main:
+            self.ckpt.finalize()  # drain async saves; materialize best
         return self.ckpt.prev_best
 
     def _truncate_csv(self, path, start_epoch: int):
@@ -494,7 +539,9 @@ def train(cfg: RunConfig) -> List[Optional[float]]:
                 cand = os.path.join(cfg.data_root, "val")
                 val_root = cand if os.path.exists(cand) else None
         save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
-        print(f"Fold {fold}: train={train_root} val={val_root} -> {save_loc}")
+        if jax.process_index() == 0:
+            print(f"Fold {fold}: train={train_root} val={val_root} "
+                  f"-> {save_loc}")
         fold_cfg = cfg
         if cfg.auto_resume and not cfg.model_weights:
             last = os.path.join(save_loc, "last.ckpt")

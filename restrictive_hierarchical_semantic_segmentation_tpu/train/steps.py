@@ -102,6 +102,7 @@ def make_train_step(
     donate: bool = True,
     jit: bool = True,
     grad_accum: int = 1,
+    out_shardings=None,
 ) -> Callable:
     """Returns jitted ``step(state, images, targets, level_mask) ->
     (state, aux)`` with aux = {loss, per_level, confmats}.
@@ -226,7 +227,11 @@ def make_train_step(
         # over a stacked fold axis before jitting)
         return step
     donate_args = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_args)
+    # out_shardings: multi-process runs pin every output replicated so the
+    # host-side fetches (checkpoint snapshot, epoch aux) read local shards
+    # instead of initiating a cross-process transfer only one process joins
+    return jax.jit(step, donate_argnums=donate_args,
+                   out_shardings=out_shardings)
 
 
 def make_eval_step(
@@ -241,6 +246,7 @@ def make_eval_step(
     return_outputs: bool = False,
     per_image_metrics: bool = False,
     apply_fn: Optional[Callable] = None,
+    out_shardings=None,
 ) -> Callable:
     """Jitted ``eval_step(params, batch_stats, images, targets) ->
     {loss, per_level, confmats[, outputs]}`` (reference ``test``,
@@ -284,4 +290,4 @@ def make_eval_step(
             res["outputs"] = scores
         return res
 
-    return jax.jit(step)
+    return jax.jit(step, out_shardings=out_shardings)

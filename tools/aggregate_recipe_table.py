@@ -34,9 +34,19 @@ CONFIGS = {
     "flat_hrnet": dict(msel=1, mtype=0),
     "hier_unet": dict(msel=0, mtype=1),
     "flat_unet": dict(msel=0, mtype=0),
+    # round-4 arms: the TPU-native W64 preset (VERDICT r3 #2) and the
+    # depth-4 extended tree (VERDICT r3 #3; flat arm = the round-3
+    # flat_hrnet checkpoints leaf-permuted by tools/flat_ckpt_permute.py)
+    "hier_hrnet_w64": dict(msel=1, mtype=1, config="w64"),
+    "hier_hrnet_ext": dict(msel=1, mtype=1, ext=True),
+    "flat_hrnet_ext": dict(msel=1, mtype=0, ext=True),
 }
 CLASS_NAMES = ["Background", "Upper", "Lower", "Tooth",
                "Pulp", "Dentin", "Enamel", "Composite"]
+# extended tree: hierarchical channel order (ClassTree.names, level-major)
+CLASS_NAMES_EXT = ["Background", "Tooth+alveolar", "Alveolar", "Tooth",
+                   "Upper", "Lower", "Composite", "Healthy",
+                   "Pulp", "Dentin", "Enamel"]
 METRICS = ["IoU", "Dice", "Precision", "Recall"]
 
 
@@ -50,11 +60,15 @@ def run_eval(runs_root, data_root, folds, img, val_batch, dtype):
         if not os.path.isdir(weights):
             print(f"skip {name}: {weights} missing", flush=True)
             continue
+        tree_json = ("assets/class_tree_tl_extended.json" if c.get("ext")
+                     else "assets/class_tree_tl.json")
+        cmap = ("assets/class_map_extended.csv" if c.get("ext")
+                else "assets/class_map.csv")
         argv = [
             "--save-loc", f"recipe_{name}",
             "--full-ds", data_root,
-            "--tree-root", os.path.join(HERE, "assets/class_tree_tl.json"),
-            "--class-map", os.path.join(HERE, "assets/class_map.csv"),
+            "--tree-root", os.path.join(HERE, tree_json),
+            "--class-map", os.path.join(HERE, cmap),
             "--model-weights", weights,
             "--img-size", str(img),
             "--model-select", str(c["msel"]),
@@ -64,6 +78,8 @@ def run_eval(runs_root, data_root, folds, img, val_batch, dtype):
             "--compute-dtype", dtype,
             "--save-images", "False",
         ]
+        if c.get("config"):
+            argv += ["--config", c["config"]]
         print(f"=== predict_eval {name} ===", flush=True)
         pe.main(argv)
 
@@ -107,32 +123,42 @@ def _cell(flat_vals, hier_vals, which):
 
 def table(folds):
     lines = []
-    for backbone, flat_name, hier_name in (
-            ("UNet", "flat_unet", "hier_unet"),
-            ("HRNet (W48)", "flat_hrnet", "hier_hrnet")):
-        flat = _load(flat_name, folds)
-        hier = _load(hier_name, folds)
-        if flat is None or hier is None:
-            lines.append(f"### {backbone}: metrics.csv incomplete — run "
-                         f"--eval first ({flat_name}={flat is not None}, "
-                         f"{hier_name}={hier is not None})")
+    # (section, left config, right config, left label, right label, classes)
+    pairs = [
+        ("UNet", "flat_unet", "hier_unet", "flat", "hier", CLASS_NAMES),
+        ("HRNet (W48)", "flat_hrnet", "hier_hrnet", "flat", "hier",
+         CLASS_NAMES),
+        ("HRNet hier: W48 vs W64 (TPU-native preset)", "hier_hrnet",
+         "hier_hrnet_w64", "W48", "W64", CLASS_NAMES),
+        ("HRNet, extended depth-4 tree", "flat_hrnet_ext", "hier_hrnet_ext",
+         "flat", "hier", CLASS_NAMES_EXT),
+    ]
+    for backbone, left_name, right_name, ll, rl, classes in pairs:
+        left = _load(left_name, folds)
+        right = _load(right_name, folds)
+        if left is None or right is None:
+            lines.append(f"### {backbone}: metrics.csv incomplete "
+                         f"({left_name}={left is not None}, "
+                         f"{right_name}={right is not None})")
             continue
         lines.append(f"### {backbone}")
         lines.append("")
-        lines.append("| Class | IoU (flat) | Dice (flat) | Prec (flat) | "
-                     "Rec (flat) | IoU (hier) | Dice (hier) | Prec (hier) "
-                     "| Rec (hier) |")
+        lines.append(f"| Class | IoU ({ll}) | Dice ({ll}) | Prec ({ll}) | "
+                     f"Rec ({ll}) | IoU ({rl}) | Dice ({rl}) | "
+                     f"Prec ({rl}) | Rec ({rl}) |")
         lines.append("|---|---|---|---|---|---|---|---|---|")
         rows = [("Average", "Average")] + [
-            (i, CLASS_NAMES[i]) for i in range(len(CLASS_NAMES))]
+            (i, classes[i]) for i in range(len(classes))]
         for key, label in rows:
-            # column order in the reference table: all flat, then all hier
-            flat_cells = [_cell(flat[key][m], hier[key][m], "flat")
+            if key not in left or key not in right:
+                continue
+            # column order in the reference table: all left, then all right
+            left_cells = [_cell(left[key][m], right[key][m], "flat")
                           for m in METRICS]
-            hier_cells = [_cell(flat[key][m], hier[key][m], "hier")
-                          for m in METRICS]
-            lines.append("| " + " | ".join([label] + flat_cells + hier_cells)
-                         + " |")
+            right_cells = [_cell(left[key][m], right[key][m], "hier")
+                           for m in METRICS]
+            lines.append("| " + " | ".join(
+                [label] + left_cells + right_cells) + " |")
         lines.append("")
     print("\n".join(lines))
 
