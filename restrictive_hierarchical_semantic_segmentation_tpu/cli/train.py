@@ -193,6 +193,14 @@ def main(argv=None):
               "MIGRATION.md 'Parallelism').")
     import os
 
+    if os.environ.get("RHSS_FAULTHANDLER"):
+        # debugging hook: `kill -USR2 <pid>` dumps all thread stacks to
+        # stderr without killing the process (hang diagnosis in
+        # multi-process runs)
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR2, all_threads=True)
     if os.environ.get("RHSS_PLATFORM"):
         # reliable platform/device-count override (the JAX_PLATFORMS env var
         # alone does not stop an installed TPU plugin from claiming the

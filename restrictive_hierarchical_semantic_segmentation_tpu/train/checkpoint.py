@@ -27,13 +27,32 @@ __all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
 _META = "rhss_meta.json"
 
 
+def _single_process_checkpointer():
+    """StandardCheckpointer scoped to THIS process.
+
+    In multi-process (jax.distributed) training only process 0 saves (the
+    state it sees is an already-fetched host snapshot); orbax's default
+    multihost barriers would wait on the other processes — which never
+    enter save — and deadlock (observed: epoch-1 save hung the 2-process
+    Trainer, tools/multihost_trainer_check.py)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return ocp.StandardCheckpointer()
+    me = jax.process_index()
+    return ocp.StandardCheckpointer(
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"proc{me}"))
+
+
 def save_checkpoint(path: str, state: TrainState, **meta) -> None:
     """Two-phase save: write ``path.tmp`` then rename over ``path``."""
     path = os.path.abspath(path)
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _single_process_checkpointer()
     ckptr.save(tmp, state)
     ckptr.wait_until_finished()
     with open(os.path.join(tmp, _META), "w") as f:
@@ -47,7 +66,7 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
     """Restore onto the template ``state``'s structure/shardings; returns
     (state, meta)."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _single_process_checkpointer()
     restored = ckptr.restore(path, target=state)
     meta_path = os.path.join(path, _META)
     meta: Dict[str, Any] = {}
