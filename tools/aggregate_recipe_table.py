@@ -85,11 +85,19 @@ def run_eval(runs_root, data_root, folds, img, val_batch, dtype):
 
 
 def _load(cfg_name, folds):
-    """-> {class_idx: {metric: [per-fold values]}} plus 'Average' row."""
+    """-> {class_idx: {metric: [per-fold values]}} plus 'Average' row.
+
+    Falls back to the committed round-3 per-fold eval compacts
+    (results/recipe_round3/<cfg>/fold_N/eval_metrics.csv — same predict_eval
+    CSV layout) for configs whose checkpoints/Predictions did not survive a
+    round boundary."""
     out = {}
     for fold in range(1, folds + 1):
         path = os.path.join(HERE, "Predictions", f"recipe_{cfg_name}",
                             f"fold_{fold}", "metrics.csv")
+        if not os.path.exists(path):
+            path = os.path.join(HERE, "results", "recipe_round3", cfg_name,
+                                f"fold_{fold}", "eval_metrics.csv")
         if not os.path.exists(path):
             return None
         with open(path) as f:
