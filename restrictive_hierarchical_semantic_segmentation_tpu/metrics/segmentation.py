@@ -137,35 +137,25 @@ def level_confusion_matrices(
     for p_oh, t_oh, valid, c, child in level_onehots(
         outputs_per_level, targets_per_level
     ):
-        b = p_oh.shape[0]
-        lead = (b, -1, c) if per_image else (1, -1, c)
-        p = p_oh.reshape(lead)
-        t = t_oh.reshape(lead) * valid.astype(jnp.float32).reshape(lead[:2])[
-            ..., None
-        ]
-        # MXU path: one-hot contraction. Exact in fp32 while every cell
-        # count stays below 2^24; HIGHEST precision keeps fp32 on TPU.
-        # Beyond that, chunk the pixel axis so each fp32 partial stays exact
-        # and accumulate in int32.
-        n = p.shape[1]
-        if n < (1 << 23):
-            cm = jnp.einsum(
-                "bnc,bnd->bcd", t, p,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)
-        else:
-            k = 1 << 22
-            pad = (-n) % k
-            if pad:  # zero rows contribute nothing
-                p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)))
-                t = jnp.pad(t, ((0, 0), (0, pad), (0, 0)))
-            q = p.shape[1] // k
-            cm = jnp.einsum(
-                "bqnc,bqnd->bqcd",
-                t.reshape(t.shape[0], q, k, c),
-                p.reshape(p.shape[0], q, k, c),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32).sum(axis=1)
+        b = p_oh.shape[0] if per_image else 1
+        # Joint-index counting on the VPU: q = t_idx*C + p_idx per pixel,
+        # cm[i,j] = sum(valid & (q == i*C + j)). The earlier einsum/MXU
+        # formulation needed the (n, C) one-hots transposed to C-minor,
+        # which XLA lowers to a serial while+dynamic-update-slice pass per
+        # level (~27 ms/step at 620px b16, results/profile_r4/ops_final);
+        # the compare-and-reduce fuses with the one-hot computation and
+        # runs at HBM speed. int32 accumulation is exact for any pixel
+        # count, so no fp32-exactness chunking is needed.
+        iota = jnp.arange(c, dtype=jnp.float32)
+        p_idx = jnp.sum(p_oh * iota, -1).astype(jnp.int32)
+        t_idx = jnp.sum(t_oh * iota, -1).astype(jnp.int32)
+        q = (t_idx * c + p_idx).reshape(b, -1)
+        w = valid.reshape(b, -1)
+        cells = jnp.arange(c * c, dtype=jnp.int32)
+        cm = jnp.sum(
+            ((q[..., None] == cells) & w[..., None]).astype(jnp.int32),
+            axis=1,
+        ).reshape(-1, c, c)
         mats.append(cm if per_image else cm[0])
     return mats
 

@@ -112,3 +112,22 @@ def test_perfect_prediction_scores_one():
     m0 = metrics_from_confusion(np.asarray(cms[0]), child=False)
     present = np.asarray(cms[0]).sum(1) > 0
     np.testing.assert_allclose(m0["dice"][present], 1.0)
+
+
+def test_per_image_confusion_decomposes_batch():
+    """per_image=True: each image's matrix equals its own batch-1 call, and
+    the per-image matrices sum to the batched matrix (the contract the
+    batched offline Evaluator relies on, train/evaluate.py)."""
+    rng = np.random.default_rng(4)
+    outs, targs = make_level_data(rng, B=3)
+    per_img = level_confusion_matrices(outs, targs, per_image=True)
+    batched = level_confusion_matrices(outs, targs)
+    for L, (pi, bm) in enumerate(zip(per_img, batched)):
+        pi, bm = np.asarray(pi), np.asarray(bm)
+        assert pi.shape[0] == 3
+        np.testing.assert_array_equal(pi.sum(0), bm)
+        for b in range(3):
+            solo = level_confusion_matrices(
+                [o[b:b + 1] for o in outs], [t[b:b + 1] for t in targs]
+            )[L]
+            np.testing.assert_array_equal(pi[b], np.asarray(solo))
