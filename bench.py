@@ -251,6 +251,14 @@ def build_step(args):
     }
 
 
+def _resolved_resize_method(flag: str) -> str:
+    from restrictive_hierarchical_semantic_segmentation_tpu.ops.resize import (
+        get_default_method,
+    )
+
+    return get_default_method() if flag == "auto" else flag
+
+
 def main():
     args = make_parser().parse_args()
     built = build_step(args)
@@ -296,6 +304,10 @@ def main():
             "n_chips": n_chips,
             "dtype": args.dtype,
             "loss": loss_val,
+            # resolved op config, so cross-round metric rows are comparable
+            # even when the 'auto' default flips (r1-r3 gather, r4+ matmul
+            # on TPU — see BENCHMARKS.md)
+            "resize_method": _resolved_resize_method(args.resize_method),
         },
     }))
 

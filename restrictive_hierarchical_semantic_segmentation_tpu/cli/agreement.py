@@ -40,6 +40,28 @@ def mean_confidence_interval(data, confidence: float = 0.95):
     return [m, m - h, m + h, np.std(a)]
 
 
+def _resize_bilinear_skimage(img: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """skimage.transform.resize(img, shape, anti_aliasing=False) for 2-D
+    floats: center-aligned bilinear with np.pad-'reflect' border semantics
+    (edge NOT repeated == scipy ndimage mode='mirror').
+
+    skimage resolves resize to ``ndi.map_coordinates(order=1, mode='mirror')``
+    over coords ``(i+0.5)*in/out - 0.5``; this reproduces that exactly. The
+    border mode only matters on UPSCALE (coords within half a pixel outside
+    the first/last sample center), where cv2.INTER_LINEAR's border clamp
+    diverges from skimage within the border band — hence not cv2 here.
+    """
+    from scipy.ndimage import map_coordinates
+
+    oh, ow = int(shape[0]), int(shape[1])
+    ih, iw = img.shape[:2]
+    ys = (np.arange(oh) + 0.5) * (ih / oh) - 0.5
+    xs = (np.arange(ow) + 0.5) * (iw / ow) - 0.5
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    return map_coordinates(img.astype(np.float64), [yy, xx], order=1,
+                           mode="mirror")
+
+
 def agreement_from_masks(pred: np.ndarray, gt: np.ndarray) -> Tuple[float, float, float]:
     """(agreement, fn, fp) from two masks — AgreementModule.py:28-69.
 
@@ -47,19 +69,18 @@ def agreement_from_masks(pred: np.ndarray, gt: np.ndarray) -> Tuple[float, float
     and binarized as >0 (matching the reference's asymmetric conventions).
 
     The reference resizes gt with ``skimage.transform.resize(...,
-    anti_aliasing=False)`` — center-aligned BILINEAR on [0,1] floats — and
-    then thresholds >0 (AgreementModule.py:33-37), so boundary pixels whose
-    bilinear support touches any nonzero gt pixel count as foreground.
-    cv2.INTER_LINEAR on the normalized float image uses the same
-    center-aligned coordinates (and clamp==symmetric-reflect for order-1
-    within half a pixel of the border), reproducing that set exactly;
-    verified float-level against the reference in
-    tests/test_agreement_oracle.py.
+    anti_aliasing=False)`` — center-aligned BILINEAR on [0,1] floats with
+    'reflect' (np.pad sense: edge not repeated) borders — then thresholds >0
+    (AgreementModule.py:33-37), so boundary pixels whose bilinear support
+    touches any nonzero gt pixel count as foreground. Reproduced exactly for
+    BOTH down- and up-scale by ``_resize_bilinear_skimage`` (cv2.INTER_LINEAR
+    clamps at borders, which diverges from skimage on upscale); verified
+    float-level against the reference in tests/test_agreement_oracle.py,
+    including an upscale fixture that samples the border band.
     """
     if gt.shape != pred.shape:
-        gt = cv2.resize(gt.astype(np.float32) / 255.0,
-                        (pred.shape[1], pred.shape[0]),
-                        interpolation=cv2.INTER_LINEAR) * 255.0
+        gt = _resize_bilinear_skimage(gt.astype(np.float64) / 255.0,
+                                      pred.shape) * 255.0
     a = (pred == 255).ravel()
     b = (gt.astype(np.float64).ravel() / 255.0) > 0.0
     both = np.logical_and(a, b)

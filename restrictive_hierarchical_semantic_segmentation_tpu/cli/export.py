@@ -82,6 +82,11 @@ def main(argv=None):
     if args.ensemble and "logits" in outputs:
         # ensembles emit fold-mean probabilities; logits are None there
         outputs = tuple(k for k in outputs if k != "logits")
+        if not outputs:
+            outputs = ("probs",)
+            print("note: --ensemble cannot export 'logits' (fold-mean "
+                  "probabilities have no single logit tensor); exporting "
+                  "'probs' instead")
     pred = Predictor(cfg, weights, quantize=_bool(args.quantize),
                      outputs=outputs, tta=_bool(args.tta))
     batch = None if args.batch == "poly" else int(args.batch)

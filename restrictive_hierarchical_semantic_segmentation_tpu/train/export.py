@@ -239,7 +239,13 @@ def load_exported(path: str) -> ExportedPredictor:
             meta = json.load(f)
     stacked = None
     wfile = path + _WEIGHTS_SUFFIX
-    if meta.get("ensemble") or os.path.exists(wfile):
+    # Trust the sidecar only: a stray .weights.npz beside a non-ensemble
+    # artifact must not change the program's call arity.
+    if meta.get("ensemble"):
+        if not os.path.exists(wfile):
+            raise FileNotFoundError(
+                f"ensemble artifact {path!r} requires its stacked-weights "
+                f"sidecar at {wfile!r}, which is missing")
         with np.load(wfile) as z:
             stacked = _unflatten_tree({k: z[k] for k in z.files})
     return ExportedPredictor(exported, meta, stacked_weights=stacked)

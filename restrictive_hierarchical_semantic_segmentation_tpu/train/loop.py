@@ -232,7 +232,16 @@ class Trainer:
             by_proc: dict = {}
             for d in _jax.devices():
                 by_proc.setdefault(d.process_index, []).append(d)
+            for p in sorted(by_proc):
+                if len(by_proc[p]) < per:
+                    raise ValueError(
+                        f"process {p} has {len(by_proc[p])} devices but the "
+                        f"{n_data}x{cfg.n_space} mesh needs {per} per process "
+                        f"({procs} processes); per-process device counts "
+                        f"must be homogeneous and >= {per}")
             devs = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
+            assert len(devs) == n_data * cfg.n_space, (
+                len(devs), n_data, cfg.n_space)
             self.mesh = make_mesh(n_data=n_data, n_space=cfg.n_space,
                                   devices=devs)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

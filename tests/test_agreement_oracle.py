@@ -13,13 +13,16 @@ active code path uses, with skimage-faithful semantics:
   (skimage doc: images already in gray-scale are not converted);
 * ``transform.resize(img, shape, anti_aliasing=False)`` — img_as_float
   (uint8/255) then center-aligned bilinear via scipy map_coordinates
-  order=1 (skimage warp's (i+0.5)*scale-0.5 coordinates; clamp border ==
-  skimage's symmetric 'reflect' for order 1 within half a pixel).
+  order=1, mode='mirror' (skimage warp's (i+0.5)*scale-0.5 coordinates with
+  skimage's default mode='reflect' == np.pad reflect == scipy 'mirror' —
+  edge NOT repeated; matters on upscale where border coords go out of range).
 
 The fixture exercises: casefold slot ordering, Td/Rd series split, per-patient
 substring filtering, the 'ofr'-prediction exclusion, the equal-shape path
-(patient 3) AND the bilinear-resize path (patient 5, gt 96x80 vs pred 64x64),
-and the fn==fp==0 quirk (one identical pred/gt pair).
+(patient 3), the DOWNSCALE resize path (patient 5, gt 96x80 vs pred 64x64 —
+all coords in range), the UPSCALE resize path (patient 7, gt 48x40 vs pred
+64x64 — border band sampled, exercising the mirror-border semantics), and the
+fn==fp==0 quirk (one identical pred/gt pair).
 """
 import os
 import re
@@ -76,7 +79,7 @@ SHIM_TRANSFORM = textwrap.dedent(
         ys = (np.arange(oh) + 0.5) * (ih / oh) - 0.5
         xs = (np.arange(ow) + 0.5) * (iw / ow) - 0.5
         yy, xx = np.meshgrid(ys, xs, indexing="ij")
-        return map_coordinates(img, [yy, xx], order=1, mode="nearest")
+        return map_coordinates(img, [yy, xx], order=1, mode="mirror")
     """
 )
 
@@ -99,8 +102,9 @@ def _write_fixture(root):
     gt_dir = os.path.join(root, "gt")
     os.makedirs(pred_dir), os.makedirs(gt_dir)
     rng = np.random.default_rng(42)
-    # patient 3: gt 64x64 (equal-shape path); patient 5: gt 96x80 (resize)
-    for pat, gt_shape in (("3", (64, 64)), ("5", (96, 80))):
+    # patient 3: gt 64x64 (equal-shape); patient 5: gt 96x80 (downscale);
+    # patient 7: gt 48x40 (UPSCALE -> border band sampled out of range)
+    for pat, gt_shape in (("3", (64, 64)), ("5", (96, 80)), ("7", (48, 40))):
         for series in ("Td", "Rd"):
             gt = _blob(rng, *gt_shape)
             cv2.imwrite(os.path.join(gt_dir, f"z{pat}{series}-OFR200.png"), gt)
