@@ -109,6 +109,80 @@ class Bottleneck(nn.Module):
 _BLOCKS = {"BASIC": (BasicBlock, 1), "BOTTLENECK": (Bottleneck, 4)}
 
 
+class SharedHead1x1(nn.Module):
+    """The shared 1x1 conv head (models.py:613-617) with two mathematically
+    identical formulations selected by ``mode``:
+
+    * ``concat`` — the reference dataflow: upsample every branch to the
+      highest resolution, concatenate to ``in_ch`` channels, one 1x1 conv.
+    * ``sum`` — TPU-native decomposition: a 1x1 conv is channel-linear and
+      bilinear resize is spatial-linear, so the two commute exactly:
+      ``conv(concat_i up(b_i)) == sum_i up_or_id(conv_i(b_i))`` where
+      ``conv_i`` uses the i-th channel-slice of the same kernel. Per branch
+      we pick conv-at-native-resolution vs conv-after-resize by a static
+      FLOP estimate — for W48@620px this cuts the head conv from 24.9 to
+      ~8 GFLOP/image/pass and deletes the 720-channel concat whose
+      data-formatting copies cost ~45 ms/step in the round-4 profile
+      (results/profile_r4, NOTES_ROUND4 "gotchas").
+
+    The parameters are one ``(1, 1, in_ch, out_ch)`` kernel + ``(out_ch,)``
+    bias with the SAME names/shapes/init as ``nn.Conv`` used through round 4,
+    so checkpoints, donor imports, and exports are interchangeable between
+    modes.
+    """
+
+    in_ch: int
+    out_ch: int
+    align_corners: bool
+    mode: str = "sum"
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def _resize_flops(ch, src_hw, dst_hw):
+        """Matmul-resize estimate: rows pass then cols pass."""
+        (h, w), (H, W) = src_hw, dst_hw
+        return ch * (H * w * h + H * W * w)
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray], target_hw) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_ch, self.out_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                          jnp.float32)
+        k2d = kernel[0, 0].astype(self.dtype)   # (in_ch, out_ch)
+        H, W = target_hw
+        ac = self.align_corners
+
+        if self.mode == "concat":
+            outs = [xs[0]] + [resize_bilinear(b, (H, W), ac) for b in xs[1:]]
+            x = jnp.concatenate(outs, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhwc,co->bhwo", x, k2d) + bias.astype(self.dtype)
+
+        y = None
+        lo = 0
+        for b in xs:
+            ch = b.shape[-1]
+            ks = k2d[lo:lo + ch]
+            lo += ch
+            src_hw = b.shape[1:3]
+            if tuple(src_hw) == (H, W):
+                t = jnp.einsum("bhwc,co->bhwo", b.astype(self.dtype), ks)
+            else:
+                conv_first = (
+                    ch * src_hw[0] * src_hw[1] * self.out_ch
+                    + self._resize_flops(self.out_ch, src_hw, (H, W))
+                ) < ch * H * W * self.out_ch
+                if conv_first:
+                    t = jnp.einsum("bhwc,co->bhwo", b.astype(self.dtype), ks)
+                    t = resize_bilinear(t, (H, W), ac)
+                else:
+                    t = resize_bilinear(b, (H, W), ac)
+                    t = jnp.einsum("bhwc,co->bhwo", t.astype(self.dtype), ks)
+            y = t if y is None else y + t
+        return y + bias.astype(self.dtype)
+
+
 class Branch(nn.Module):
     """A sequence of residual blocks at one resolution (models.py:438-460)."""
 
@@ -260,6 +334,11 @@ class HRNetBackbone(nn.Module):
     # fused Pallas BN+act kernels instead of XLA flax BN (per-replica stats;
     # see models/pallas_bn.py scope note)
     use_pallas_bn: bool = False
+    # shared-head dataflow: "sum" (decomposed conv-resize commutation, the
+    # TPU default — see SharedHead1x1) | "concat" (reference formulation);
+    # "auto" resolves via RHSS_HRNET_HEAD env (default "sum"). Both modes
+    # read/write the identical parameter tree.
+    head_mode: str = "auto"
 
     feature_stride: int = 4  # features at 1/4 input resolution
 
@@ -317,13 +396,18 @@ class HRNetBackbone(nn.Module):
                     xs = mod(xs, train)
             prev_channels = cur_channels
 
-        # fuse to highest resolution + concat (models.py:742-748)
-        hw = xs[0].shape[1:3]
-        outs = [xs[0]] + [resize_bilinear(b, tuple(hw), ac) for b in xs[1:]]
-        x = jnp.concatenate(outs, axis=-1)
+        # fuse to highest resolution + shared head: 1x1 conv + BN + ReLU
+        # (models.py:613-617, 742-748) — see SharedHead1x1 for the two
+        # mathematically identical dataflows
+        import os as _os
 
-        # shared head: 1x1 conv + BN + ReLU (models.py:613-617)
-        x = nn.Conv(cfg.last_channels, (1, 1), use_bias=True, dtype=self.dtype,
-                    name="shared_head_conv")(x)
+        mode = self.head_mode
+        if mode == "auto":
+            mode = _os.environ.get("RHSS_HRNET_HEAD", "sum")
+        hw = xs[0].shape[1:3]
+        x = SharedHead1x1(
+            in_ch=sum(int(b.shape[-1]) for b in xs),
+            out_ch=cfg.last_channels, align_corners=ac, mode=mode,
+            dtype=self.dtype, name="shared_head_conv")(xs, tuple(hw))
         return _bn_act(x, self.dtype, train, "shared_head_bn", "relu",
                        self.use_pallas_bn)

@@ -56,6 +56,48 @@ def test_hrnet_w48_channel_plan():
     assert hrnet_w48().last_channels == 720
 
 
+def test_shared_head_sum_concat_identity():
+    """The decomposed shared head (per-branch 1x1 conv + resize, summed) is
+    mathematically identical to the reference dataflow (resize-all, concat,
+    one 1x1 conv): a 1x1 conv is channel-linear and bilinear resize is
+    spatial-linear, so they commute exactly. Exact in f32; bf16 differs only
+    by rounding (different accumulation order)."""
+    from restrictive_hierarchical_semantic_segmentation_tpu.models.backbones.hrnet import (  # noqa: E501
+        SharedHead1x1,
+    )
+
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, s, s, c))
+        for i, (s, c) in enumerate([(16, 12), (8, 24), (4, 48)])
+    ]
+    for ac in (True, False):
+        sum_head = SharedHead1x1(in_ch=84, out_ch=60, align_corners=ac,
+                                 mode="sum")
+        cat_head = SharedHead1x1(in_ch=84, out_ch=60, align_corners=ac,
+                                 mode="concat")
+        v = sum_head.init(jax.random.PRNGKey(7), xs, (16, 16))
+        # same single (1,1,in,out) kernel + bias as nn.Conv -> checkpoint/
+        # donor-import compatible between modes
+        assert v["params"]["kernel"].shape == (1, 1, 84, 60)
+        a = sum_head.apply(v, xs, (16, 16))
+        b = cat_head.apply(v, xs, (16, 16))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+
+
+def test_hrnet_backbone_head_modes_match():
+    """Full backbone forward agrees between head modes with shared params."""
+    cfg = tiny_hrnet()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    m_sum = HRNetBackbone(config=cfg, head_mode="sum")
+    m_cat = HRNetBackbone(config=cfg, head_mode="concat")
+    vars_ = m_sum.init(jax.random.PRNGKey(0), x, train=False)
+    a = m_sum.apply(vars_, x, train=False)
+    b = m_cat.apply(vars_, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flat_model(default_tree):
     m = HierarchicalSegmenter(
         tree=default_tree, backbone=UNetBackbone(base_ch=8), hierarchical=False
