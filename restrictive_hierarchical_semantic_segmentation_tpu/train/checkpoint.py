@@ -91,7 +91,7 @@ class CheckpointManager:
     def __init__(self, save_dir: str, async_save: bool = True,
                  ckpt_every: int = 1, final_epoch: Optional[int] = None,
                  best_save: str = "every", defer_snapshot=None,
-                 defer_fetch=None):
+                 defer_fetch=None, write: bool = True):
         """``ckpt_every``/``final_epoch``: the last.ckpt cadence — last saves
         on every ``ckpt_every``-th epoch and on the final one (best.ckpt
         saves on every improvement regardless).
@@ -113,7 +113,16 @@ class CheckpointManager:
         ``defer_fetch(handle) -> host state`` materializes it at flush/
         finalize time. Fold-parallel uses these to keep ALL folds' deferred
         bests in one fold-SHARDED stacked buffer (1x state per chip) instead
-        of F fully-replicated copies (F x state per chip)."""
+        of F fully-replicated copies (F x state per chip).
+
+        ``write``: multi-process (jax.distributed) runs pass ``write=False``
+        on every process but one. A non-writing manager makes the SAME
+        best/last decisions (metrics are replicated, so decisions are
+        identical bits across processes) and dispatches the SAME device-side
+        ops (deferred snapshots/fetches are jit computations over the global
+        mesh — every process must participate or the writer deadlocks), but
+        never touches the filesystem and skips the device->host state
+        fetches only the writer needs."""
         if (defer_snapshot is None) != (defer_fetch is None):
             raise ValueError("defer_snapshot and defer_fetch come together")
         if ckpt_every < 1:
@@ -121,8 +130,9 @@ class CheckpointManager:
         if best_save not in ("every", "end"):
             raise ValueError(f"best_save must be 'every'|'end', {best_save!r}")
         self.save_dir = save_dir
+        self.write = bool(write)
         os.makedirs(save_dir, exist_ok=True)
-        self._async = async_save
+        self._async = async_save and self.write
         self.ckpt_every = int(ckpt_every)
         self.final_epoch = final_epoch
         self.best_save = best_save
@@ -131,7 +141,7 @@ class CheckpointManager:
         self._defer_fetch = defer_fetch
         self._executor = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
-            if async_save else None
+            if self._async else None
         )
         self._pending: Optional[Future] = None
         self.prev_best: Optional[float] = None
@@ -210,6 +220,13 @@ class CheckpointManager:
         if save_last and self._deferred_best is not None:
             flush = self._deferred_best
             self._deferred_best = None
+        if not self.write:
+            # non-writing replica: participate in the deferred-fetch device
+            # ops (global-mesh collectives the writer's fetch needs every
+            # process to join) but never touch disk
+            if flush is not None:
+                self._defer_to_host(flush[0])
+            return is_best
         tasks = []
         if self._async:
             import jax
@@ -263,4 +280,6 @@ class CheckpointManager:
         if self._deferred_best is not None:
             snap, meta = self._deferred_best
             self._deferred_best = None
-            save_checkpoint(self.best_path, self._defer_to_host(snap), **meta)
+            host = self._defer_to_host(snap)
+            if self.write:
+                save_checkpoint(self.best_path, host, **meta)

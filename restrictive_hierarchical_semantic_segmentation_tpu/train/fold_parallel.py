@@ -81,6 +81,12 @@ class FoldParallelTrainer:
         from ..utils.compile_cache import enable as _enable_cache
 
         _enable_cache()
+        # multi-process (jax.distributed): every process drives the SAME
+        # global fold mesh (fold groups land on contiguous device ranges, so
+        # with F a multiple of the process count each fold's collectives stay
+        # inside one process's chips); exactly one process writes artifacts
+        self.multiproc = jax.process_count() > 1
+        self.is_main = jax.process_index() == 0
 
         hier = cfg.hierarchical
         self.num_classes_per_level = (
@@ -116,9 +122,22 @@ class FoldParallelTrainer:
         # (jax.make_array_from_single_device_arrays) — no host round-trip,
         # no device-0 funnel, no transient all-folds-on-one-device upload
         self._shard_stack = (
-            cfg.device_data and n_fold_mesh == F
+            cfg.device_data and not self.multiproc and n_fold_mesh == F
             and n_data_mesh == 1 and n_space_mesh == 1
         )
+        loader_cfg = cfg
+        if self.multiproc and cfg.device_data:
+            # device-resident per-fold datasets are a single-process
+            # optimization (a fold's device may belong to another process);
+            # fall back to the deterministic host pipeline, whose global
+            # batches every process assembles identically
+            # (prefetch_to_device slices each process's shards locally)
+            from dataclasses import replace as _dc_replace
+
+            loader_cfg = _dc_replace(cfg, device_data=False)
+            if self.is_main:
+                print("fold-parallel multi-process: --device-data falls back "
+                      "to the host pipeline (fold devices span processes)")
 
         # --- per-fold data / output dirs ------------------------------------
         for f, fold in enumerate(self.fold_ids):
@@ -127,7 +146,7 @@ class FoldParallelTrainer:
             save_loc = os.path.join(cfg.save_path, f"fold_{fold}")
             os.makedirs(save_loc, exist_ok=True)
             tr, va = make_loaders(
-                cfg, tree, train_root, val_root,
+                loader_cfg, tree, train_root, val_root,
                 device=(self.mesh.devices[f, 0, 0] if self._shard_stack
                         else None),
             )
@@ -170,9 +189,21 @@ class FoldParallelTrainer:
             )
         fold_states, self.start_epoch = self._resume_or_init(template, F)
 
-        self.state = jax.device_put(
-            _stack_states(fold_states), NamedSharding(self.mesh, P(FOLD_AXIS))
-        )
+        self._fold_shard = NamedSharding(self.mesh, P(FOLD_AXIS))
+        if self.multiproc:
+            # device_put cannot target non-addressable devices; every process
+            # holds the same host-side fold states, so each assembles the
+            # global stacked state from its local shards
+            def _stack_put(*leaves):
+                x = np.stack([np.asarray(lf) for lf in leaves])
+                return jax.make_array_from_callback(
+                    x.shape, self._fold_shard, lambda idx: x[idx])
+
+            self.state = jax.tree_util.tree_map(_stack_put, *fold_states)
+        else:
+            self.state = jax.device_put(
+                _stack_states(fold_states), self._fold_shard
+            )
         self.batch_shard = NamedSharding(
             self.mesh, P(FOLD_AXIS, DATA_AXIS, SPACE_AXIS, None, None)
         )
@@ -226,10 +257,19 @@ class FoldParallelTrainer:
             axis_names=frozenset({FOLD_AXIS}),
             check_vma=False,
         )
-        self.train_step = jax.jit(sharded_step, donate_argnums=(0,))
+        # multi-process: pin step aux (and eval outputs) replicated so every
+        # process's host fetches (metrics, checkpoint decisions, the nan
+        # probe) read local shards — same rationale as the sequential
+        # Trainer (see steps.py); the state stays fold-sharded
+        step_out = ((self._fold_shard, NamedSharding(self.mesh, P()))
+                    if self.multiproc else None)
+        self.train_step = jax.jit(sharded_step, donate_argnums=(0,),
+                                  out_shardings=step_out)
         self.eval_step = make_eval_step(
             self.model, tree, hier, lw, cfg.lambda_cons, cfg.lambda_kl,
             ohem=ohem, return_outputs=cfg.save_images_batch,
+            out_shardings=(NamedSharding(self.mesh, P())
+                           if self.multiproc else None),
         )
         self.ckpts = [
             CheckpointManager(loc, ckpt_every=cfg.ckpt_every,
@@ -237,7 +277,8 @@ class FoldParallelTrainer:
                               best_save=cfg.best_save,
                               defer_snapshot=(
                                   lambda _state, f=f: self._snap_best(f)),
-                              defer_fetch=self._fetch_best)
+                              defer_fetch=self._fetch_best,
+                              write=self.is_main)
             for f, loc in enumerate(self.save_locs)
         ]
 
@@ -288,10 +329,14 @@ class FoldParallelTrainer:
     # --------------------------------------------------------------- epochs
     def _set_learning_rates(self, lrs):
         hp = dict(self.state.opt_state.hyperparams)
-        hp["learning_rate"] = jax.device_put(
-            jnp.asarray(lrs, jnp.float32),
-            NamedSharding(self.mesh, P(FOLD_AXIS)),
-        )
+        if self.multiproc:
+            arr = np.asarray(lrs, np.float32)
+            lr_global = jax.make_array_from_callback(
+                arr.shape, self._fold_shard, lambda idx: arr[idx])
+        else:
+            lr_global = jax.device_put(
+                jnp.asarray(lrs, jnp.float32), self._fold_shard)
+        hp["learning_rate"] = lr_global
         self.state = self.state.replace(
             opt_state=self.state.opt_state._replace(hyperparams=hp)
         )
@@ -425,15 +470,17 @@ class FoldParallelTrainer:
         csv_paths, loggers = [], []
         for loc in self.save_locs:
             path = os.path.join(loc, "metrics.csv")
-            if os.path.exists(path):
+            if self.is_main and os.path.exists(path):
                 if self.start_epoch > 1:
                     truncate_csv(path, self.start_epoch)
                 else:
                     os.remove(path)  # fresh run (train.py:599-600)
             csv_paths.append(path)
-            logger = MetricsLogger(os.path.join(loc, "logs"),
-                                   tensorboard=cfg.tensorboard)
-            logger.truncate_after(self.start_epoch - 1)
+            logger = (MetricsLogger(os.path.join(loc, "logs"),
+                                    tensorboard=cfg.tensorboard)
+                      if self.is_main else None)
+            if logger:
+                logger.truncate_after(self.start_epoch - 1)
             loggers.append(logger)
 
         for epoch in range(self.start_epoch, cfg.epochs + 1):
@@ -444,32 +491,36 @@ class FoldParallelTrainer:
                 epoch % cfg.save_images_batch_num == 0 or epoch == 1
             )
             for f in range(F):
-                va = self.evaluate_fold(f, epoch, dump_images=dump)
+                va = self.evaluate_fold(
+                    f, epoch, dump_images=dump and self.is_main)
                 tr = trs[f]
-                append_csv(csv_paths[f], epoch, tr, va)
                 lr_f = (self.scheds[f].lr if self.scheds is not None
                         else cfg.lr)
-                print(
-                    f"Fold {self.fold_ids[f]} epoch {epoch}: "
-                    f"train loss {tr['loss']:.4f} "
-                    f"({tr['steps']} steps, {tr['time']:.1f}s all folds) | "
-                    f"val dice(no bg) {va['measure_mean']:.4f} "
-                    f"iou {va['overall']['iou']:.4f} lr {lr_f:.5f}",
-                    flush=True,
-                )
-                # sec_per_epoch is the WALL clock of the stacked epoch (all
-                # folds trained concurrently in it); concurrent_folds lets
-                # tooling normalize against sequential-Trainer logs
-                loggers[f].log(epoch, {
-                    "loss": tr["loss"], "dice": tr["overall"]["dice"],
-                    "iou": tr["overall"]["iou"],
-                    "sec_per_epoch": tr["time"], "concurrent_folds": F,
-                    "lr": lr_f,
-                }, prefix="train")
-                loggers[f].log(epoch, {
-                    "loss": va["loss"], "dice_no_bg": va["measure_mean"],
-                    "iou": va["overall"]["iou"], "dice": va["overall"]["dice"],
-                }, prefix="val")
+                if self.is_main:
+                    append_csv(csv_paths[f], epoch, tr, va)
+                    print(
+                        f"Fold {self.fold_ids[f]} epoch {epoch}: "
+                        f"train loss {tr['loss']:.4f} "
+                        f"({tr['steps']} steps, {tr['time']:.1f}s all folds) "
+                        f"| val dice(no bg) {va['measure_mean']:.4f} "
+                        f"iou {va['overall']['iou']:.4f} lr {lr_f:.5f}",
+                        flush=True,
+                    )
+                    # sec_per_epoch is the WALL clock of the stacked epoch
+                    # (all folds trained concurrently in it);
+                    # concurrent_folds lets tooling normalize against
+                    # sequential-Trainer logs
+                    loggers[f].log(epoch, {
+                        "loss": tr["loss"], "dice": tr["overall"]["dice"],
+                        "iou": tr["overall"]["iou"],
+                        "sec_per_epoch": tr["time"], "concurrent_folds": F,
+                        "lr": lr_f,
+                    }, prefix="train")
+                    loggers[f].log(epoch, {
+                        "loss": va["loss"], "dice_no_bg": va["measure_mean"],
+                        "iou": va["overall"]["iou"],
+                        "dice": va["overall"]["dice"],
+                    }, prefix="val")
                 if self.scheds is not None:
                     self.scheds[f].step(va["measure_mean"])
                 sched_meta = (
@@ -511,9 +562,13 @@ def train_folds_parallel(cfg: RunConfig, tree: Optional[ClassTree] = None,
     if fold_ids is None:
         folds = cfg.folds if cfg.inc_cross_val and cfg.folds > 0 else 1
         fold_ids = [cfg.fold] if cfg.fold > 0 else list(range(1, folds + 1))
-    print(f"Fold-parallel training: folds {fold_ids} as one vmapped program")
+    if jax.process_index() == 0:
+        print(f"Fold-parallel training: folds {fold_ids} as one vmapped "
+              f"program")
     trainer = FoldParallelTrainer(cfg, tree, fold_ids)
-    print(f"mesh: {dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape))}")
+    if trainer.is_main:
+        print(f"mesh: "
+              f"{dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape))}")
     try:
         return trainer.run()
     finally:
