@@ -47,7 +47,21 @@ def _first_max_onehot(x: jax.Array) -> jax.Array:
     surrounding elementwise work instead of lowering to an iota+reduce pass
     over the full-resolution tensor with the channel axis minor (measured
     3.2 ms per argmax at 620px b16 in results/profile_r4 — 42 GB/s — vs
-    fused elementwise at HBM speed)."""
+    fused elementwise at HBM speed).
+
+    The ``optimization_barrier`` is load-bearing: ``x == max(x)`` is a value
+    SELF-comparison, sound only if both sides read the same bits. When ``x``
+    is produced by bf16 ops (model logits), XLA may duplicate the producer
+    into the two consuming fusions at different effective precisions (TPU
+    bf16 ops are 'at least bf16'; e.g. the f32 upcast folds into one copy of
+    the logits' resize matmul but not the other), making the equality fail on
+    ~all pixels — every row becomes all-false and is scored as synthesized
+    background. This collapsed the depth-4 extended-tree L0 eval metrics in
+    round 4 (recall 0.018 vs 0.984 actual, BENCHMARKS round-5 note) while
+    the forward was healthy. The barrier pins ONE materialized value that
+    both the max-reduce and the comparison read; its HBM round-trip at
+    620px is ~15 us — noise vs the 3.2 ms argmax it replaces."""
+    x = jax.lax.optimization_barrier(x)
     eq = x == jnp.max(x, axis=-1, keepdims=True)
     first = jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1
     return (eq & first).astype(jnp.float32)
