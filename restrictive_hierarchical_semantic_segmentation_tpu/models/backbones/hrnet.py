@@ -115,15 +115,23 @@ class SharedHead1x1(nn.Module):
 
     * ``concat`` — the reference dataflow: upsample every branch to the
       highest resolution, concatenate to ``in_ch`` channels, one 1x1 conv.
-    * ``sum`` — TPU-native decomposition: a 1x1 conv is channel-linear and
+    * ``sum`` — algebraic decomposition: a 1x1 conv is channel-linear and
       bilinear resize is spatial-linear, so the two commute exactly:
       ``conv(concat_i up(b_i)) == sum_i up_or_id(conv_i(b_i))`` where
       ``conv_i`` uses the i-th channel-slice of the same kernel. Per branch
       we pick conv-at-native-resolution vs conv-after-resize by a static
       FLOP estimate — for W48@620px this cuts the head conv from 24.9 to
-      ~8 GFLOP/image/pass and deletes the 720-channel concat whose
-      data-formatting copies cost ~45 ms/step in the round-4 profile
-      (results/profile_r4, NOTES_ROUND4 "gotchas").
+      ~8 GFLOP/image/pass and deletes the 720-channel concat.
+
+    MEASURED (round 5, 620px b16 bf16 train step): ``sum`` LOSES despite the
+    3x FLOP cut — 0.447 s/step vs ``concat``'s 0.357. The conv-first branches
+    each materialize a full-resolution ``out_ch``-channel tensor
+    ((16,155,155,720) bf16 = 553 MB) before the adds, where concat writes ONE
+    such tensor; the extra peak-HBM pressure also feeds XLA's auto-remat.
+    FLOPs were never the head's bottleneck — bandwidth is. ``concat`` is
+    therefore the default; ``sum`` stays selectable (RHSS_HRNET_HEAD=sum) and
+    parity-tested, and is the right dataflow when ``out_ch`` is small
+    relative to ``sum(in_ch)`` (the FLOP/bandwidth ratio flips).
 
     The parameters are one ``(1, 1, in_ch, out_ch)`` kernel + ``(out_ch,)``
     bias with the SAME names/shapes/init as ``nn.Conv`` used through round 4,
@@ -134,7 +142,7 @@ class SharedHead1x1(nn.Module):
     in_ch: int
     out_ch: int
     align_corners: bool
-    mode: str = "sum"
+    mode: str = "concat"
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -334,9 +342,10 @@ class HRNetBackbone(nn.Module):
     # fused Pallas BN+act kernels instead of XLA flax BN (per-replica stats;
     # see models/pallas_bn.py scope note)
     use_pallas_bn: bool = False
-    # shared-head dataflow: "sum" (decomposed conv-resize commutation, the
-    # TPU default — see SharedHead1x1) | "concat" (reference formulation);
-    # "auto" resolves via RHSS_HRNET_HEAD env (default "sum"). Both modes
+    # shared-head dataflow: "concat" (one fused-concat materialization — the
+    # measured-faster default, see SharedHead1x1) | "sum" (decomposed
+    # conv-resize commutation; fewer FLOPs, more peak HBM — loses at W48);
+    # "auto" resolves via RHSS_HRNET_HEAD env (default "concat"). Both modes
     # read/write the identical parameter tree.
     head_mode: str = "auto"
 
@@ -403,7 +412,7 @@ class HRNetBackbone(nn.Module):
 
         mode = self.head_mode
         if mode == "auto":
-            mode = _os.environ.get("RHSS_HRNET_HEAD", "sum")
+            mode = _os.environ.get("RHSS_HRNET_HEAD", "concat")
         hw = xs[0].shape[1:3]
         x = SharedHead1x1(
             in_ch=sum(int(b.shape[-1]) for b in xs),

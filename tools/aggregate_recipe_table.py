@@ -40,6 +40,11 @@ CONFIGS = {
     "hier_hrnet_w64": dict(msel=1, mtype=1, config="w64"),
     "hier_hrnet_ext": dict(msel=1, mtype=1, ext=True),
     "flat_hrnet_ext": dict(msel=1, mtype=0, ext=True),
+    # round-5 arms: the extended-tree comparison retrained AFTER the L0
+    # eval-metric fix (BENCHMARKS.md "Round-5 root cause"); fresh names keep
+    # the corrupted round-4 tables' provenance distinct
+    "hier_hrnet_ext_r5": dict(msel=1, mtype=1, ext=True),
+    "flat_hrnet_ext_r5": dict(msel=1, mtype=0, ext=True),
 }
 CLASS_NAMES = ["Background", "Upper", "Lower", "Tooth",
                "Pulp", "Dentin", "Enamel", "Composite"]
@@ -50,12 +55,14 @@ CLASS_NAMES_EXT = ["Background", "Tooth+alveolar", "Alveolar", "Tooth",
 METRICS = ["IoU", "Dice", "Precision", "Recall"]
 
 
-def run_eval(runs_root, data_root, folds, img, val_batch, dtype):
+def run_eval(runs_root, data_root, folds, img, val_batch, dtype, only=None):
     from restrictive_hierarchical_semantic_segmentation_tpu.cli import (
         predict_eval as pe,
     )
 
     for name, c in CONFIGS.items():
+        if only and name not in only:
+            continue
         weights = os.path.join(runs_root, name)
         if not os.path.isdir(weights):
             print(f"skip {name}: {weights} missing", flush=True)
@@ -129,7 +136,7 @@ def _cell(flat_vals, hier_vals, which):
     return f"**{s}**" if np.mean(mine) >= np.mean(other) else s
 
 
-def table(folds):
+def table(folds, only=None):
     lines = []
     # (section, left config, right config, left label, right label, classes)
     pairs = [
@@ -140,7 +147,12 @@ def table(folds):
          "hier_hrnet_w64", "W48", "W64", CLASS_NAMES),
         ("HRNet, extended depth-4 tree", "flat_hrnet_ext", "hier_hrnet_ext",
          "flat", "hier", CLASS_NAMES_EXT),
+        ("HRNet, extended depth-4 tree — round 5, post metric fix",
+         "flat_hrnet_ext_r5", "hier_hrnet_ext_r5", "flat", "hier",
+         CLASS_NAMES_EXT),
     ]
+    if only:
+        pairs = [p for p in pairs if p[1] in only or p[2] in only]
     for backbone, left_name, right_name, ll, rl, classes in pairs:
         left = _load(left_name, folds)
         right = _load(right_name, folds)
@@ -181,12 +193,15 @@ def main():
     ap.add_argument("--img", type=int, default=620)
     ap.add_argument("--val-batch", type=int, default=4)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated CONFIGS subset to eval/tabulate")
     args = ap.parse_args()
+    only = set(args.configs.split(",")) if args.configs else None
     if args.eval:
         run_eval(args.runs_root, args.data_root, args.folds, args.img,
-                 args.val_batch, args.compute_dtype)
+                 args.val_batch, args.compute_dtype, only=only)
     if args.table:
-        table(args.folds)
+        table(args.folds, only=only)
 
 
 if __name__ == "__main__":
